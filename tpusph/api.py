@@ -1,28 +1,358 @@
 """Python-first user API — the TPU-native equivalent of the reference's
-C API (src/library.{cpp,h}) + ctypes wrapper (python/lammps.py), SURVEY §2.10.
+C API (src/library.{cpp,h}) + ctypes wrapper (python/lammps.py), SURVEY §2.10,
+plus the top-level object graph of src/lammps.cpp (SURVEY §1 L2).
 
-``Simulation`` owns the config, particle state, and compiled step; the
-input-script layer (tpusph.script) drives this same object, so reference
-LAMMPS scripts and direct Python use share one engine.
+``Simulation`` owns config, particle state, and the compiled step. The
+input-script interpreter (tpusph.script) drives this same object, so LAMMPS
+scripts and direct Python use share one engine. State setup is host-side
+numpy (staged), the run loop is device-side jitted blocks (tpusph.runner).
 """
 
 from __future__ import annotations
 
+import dataclasses
+from typing import Callable, Dict, List, Optional
+
+import jax
+import numpy as np
+
+from tpusph import kernels, lattice
+from tpusph.io.thermo import ThermoWriter
 from tpusph.params import PairTables, PhysicsSpec
+from tpusph.runner import Runner, thermo_scalars
 from tpusph.state import Box, ParticleState
 
 
+def _round_up(n: int, m: int) -> int:
+    return ((n + m - 1) // m) * m
+
+
 class Simulation:
-    """Owns everything a run needs (the LAMMPS top-level object's role,
-    src/lammps.cpp — minus the service-locator pattern: dependencies are
-    explicit here)."""
+    """One simulation: box + particles + physics + run loop."""
 
-    def __init__(self, dim: int = 3):
+    def __init__(self, dim: int = 3, log: Optional[str] = None,
+                 screen: bool = True):
         self.spec = PhysicsSpec(dim=dim)
-        self.tables: PairTables | None = None
-        self.state: ParticleState | None = None
-        self.box: Box | None = None
-        self.dt: float = 0.0
+        self.tables: Optional[PairTables] = None
+        self.box: Optional[Box] = None
+        self.state: Optional[ParticleState] = None
+        self.dt: float = 0.005
         self.step_count: int = 0
+        self.time_acc: float = 0.0
+        self.backend_name: str = "auto"
+        self.capacity_pad: int = 0      # extra dead slots (phase-change pool)
+        self.neighbor_skin: Optional[float] = None  # `neighbor <skin> bin`
+        self.reneigh_every: int = 0     # `neigh_modify every N` (0 = check)
+        self.cell_cap: Optional[int] = None
+        self._backend_cache: Dict = {}
+        self.log_path = log
+        self.screen = screen
 
-    # The full run loop lands with tpusph.runner (stage 2 of SURVEY §7.3).
+        # staged host-side particle data (before first run)
+        self._staged: Dict[str, np.ndarray] = {}
+        self._ntypes: int = 0
+        self._next_tag: int = 1
+        self.groups: Dict[str, np.ndarray] = {}
+
+        # output config
+        self.thermo_every: int = 0
+        self.thermo_columns: List[str] = ["step", "time", "ke"]
+        self.custom_columns: Dict[str, Callable] = {}
+        self._thermo: Optional[ThermoWriter] = None
+        self.dumps: list = []
+
+        self._runner: Optional[Runner] = None
+        self._runner_key = None
+        self.end_of_step_hook = None   # (state, tables, dt, istep, aux)->state,aux
+        self.aux = None
+
+    # ------------------------------------------------------------------ setup
+
+    def set_dimension(self, dim: int):
+        self.spec = self.spec._replace(dim=dim)
+
+    def set_kernel(self, name: str):
+        self.spec = self.spec._replace(kernel=kernels.kernel_id_from_name(name))
+
+    def create_box(self, lo, hi, periodic=(True, True, True), ntypes: int = 1):
+        self.box = Box.create(lo, hi, periodic)
+        self._ntypes = ntypes
+        self.tables = PairTables.zeros(ntypes)
+
+    def add_particles(self, x: np.ndarray, type: int | np.ndarray,
+                      v=None, rho=1.0, e=0.0, cv=1.0, rmass=1.0) -> np.ndarray:
+        """Stage particles (create_atoms / read_data path). Returns the mask
+        (over the staged arrays) of the newly added particles."""
+        x = np.atleast_2d(np.asarray(x, np.float32))
+        if x.shape[1] == 2:
+            x = np.concatenate([x, np.zeros((len(x), 1), np.float32)], axis=1)
+        n = len(x)
+
+        def full(v, shape=()):
+            a = np.asarray(v, np.float32)
+            return np.broadcast_to(a, (n,) + shape).copy() if a.ndim <= len(shape) \
+                else a.astype(np.float32)
+
+        new = dict(
+            x=x,
+            v=full(v if v is not None else 0.0, (3,)),
+            type=np.broadcast_to(np.asarray(type, np.int32), (n,)).copy(),
+            rho=full(rho), e=full(e), cv=full(cv), rmass=full(rmass),
+            tag=np.arange(self._next_tag, self._next_tag + n, dtype=np.int32),
+            mobile=np.ones(n, bool),
+        )
+        self._next_tag += n
+        if not self._staged:
+            self._staged = new
+        else:
+            self._staged = {k: np.concatenate([self._staged[k], new[k]])
+                            for k in new}
+        nold = len(self._staged["x"]) - n
+        mask = np.zeros(len(self._staged["x"]), bool)
+        mask[nold:] = True
+        self._sync_groups(n)
+        return mask
+
+    def _sync_groups(self, n_new: int):
+        for k in list(self.groups):
+            self.groups[k] = np.concatenate(
+                [self.groups[k], np.zeros(n_new, bool)])
+
+    def create_atoms_lattice(self, type: int, style: str, spacing: float,
+                             region: lattice.Region, **fields) -> np.ndarray:
+        """create_atoms via a lattice fill of a region (SURVEY §2.4)."""
+        box_region = lattice.Block(lo=np.asarray(self.box.lo),
+                                   hi=np.asarray(self.box.hi))
+        pts = lattice.lattice_points(style, spacing, region,
+                                     dim=self.spec.dim, box_region=box_region)
+        return self.add_particles(pts, type, **fields)
+
+    def define_group(self, name: str, mask: np.ndarray):
+        self.groups[name] = np.asarray(mask, bool).copy()
+
+    def group_mask(self, name: str) -> np.ndarray:
+        if name == "all":
+            return np.ones(len(self._staged["x"]), bool)
+        return self.groups[name]
+
+    def set_values(self, mask, **fields):
+        """The `set` command: adjust per-particle values on staged data."""
+        self._pull_state()
+        mask = np.asarray(mask, bool)
+        for k, v in fields.items():
+            arr = self._staged[k]
+            arr[mask] = v
+            self._staged[k] = arr
+        self.state = None  # invalidate device state
+
+    def set_stationary(self, mask):
+        """fix meso/stationary on these particles (walls)."""
+        self._pull_state()
+        self._staged["mobile"][np.asarray(mask, bool)] = False
+        self.state = None
+
+    # pair styles --------------------------------------------------------
+
+    def pair_taitwater(self, morris: bool = False):
+        self.spec = self.spec._replace(tait=not morris, morris=morris)
+
+    def pair_idealgas(self):
+        self.spec = self.spec._replace(ideal_gas=True, tait=False)
+
+    def pair_rhosum(self, every: int = 1):
+        self.spec = self.spec._replace(rhosum_every=every)
+
+    def pair_heatconduction(self):
+        self.spec = self.spec._replace(heatconduction=True)
+
+    def pair_surfacetension(self):
+        self.spec = self.spec._replace(surface_tension=True)
+
+    # ------------------------------------------------------------- state sync
+
+    def _build_state(self):
+        s = self._staged
+        n = len(s["x"])
+        cap = _round_up(n + self.capacity_pad, 128)
+        self.state = ParticleState.from_arrays(
+            s["x"], s["type"], rmass=s["rmass"], v=s["v"], rho=s["rho"],
+            e=s["e"], cv=s["cv"], tag=s["tag"], mobile=s["mobile"],
+            capacity=cap)
+
+    def _pull_state(self):
+        """Sync device state back into staged host arrays (after a run, so
+        `set` and queries see current values)."""
+        if self.state is None or not self._staged:
+            return
+        n = len(self._staged["x"])
+        dev = jax.device_get(self.state)
+        # map pool slots back to staged order by tag
+        order = np.argsort(dev.tag[: n])  # pool preserves order pre-sort
+        alive = dev.type > 0
+        idx = np.nonzero(alive)[0]
+        tags = dev.tag[idx]
+        pos = {t: i for t, i in zip(tags, idx)}
+        sel = np.array([pos[t] for t in self._staged["tag"] if t in pos])
+        if len(sel) != n:
+            # particles were created/destroyed (phase change): rebuild staging
+            sel = idx
+            self._staged["tag"] = dev.tag[sel]
+        for k in ("x", "v", "rho", "e", "cv", "rmass"):
+            self._staged[k] = np.asarray(getattr(dev, k)[sel])
+        self._staged["type"] = np.asarray(dev.type[sel])
+        self._staged["mobile"] = np.asarray(dev.mobile[sel])
+
+    # ------------------------------------------------------------------- run
+
+    def _select_backend(self):
+        from tpusph.ops import dense
+        name = self.backend_name
+        if name == "auto":
+            # dense is faster below ~2k particles; grid above
+            n = self.natoms
+            name = "dense" if n <= 2048 else "cellgrid"
+        if name == "dense":
+            return dense
+        if name == "cellgrid":
+            from tpusph import grid as gridlib
+            from tpusph.ops.cellgrid import CellGridBackend
+            cutoff = self.tables.max_cut()
+            skin = self.neighbor_skin if self.neighbor_skin is not None \
+                else 0.3 * cutoff
+            vol = float(np.prod(np.asarray(self.box.length)[: self.spec.dim]))
+            avg = self.natoms * (cutoff + skin) ** self.spec.dim / max(vol, 1e-30)
+            geom = gridlib.make_geometry(self.box, cutoff, self.spec.dim,
+                                         skin=skin, cap=self.cell_cap,
+                                         avg_per_cell=avg)
+            key = (geom, self.reneigh_every)
+            if self._backend_cache.get("key") != key:
+                self._backend_cache = dict(
+                    key=key,
+                    backend=CellGridBackend(geom,
+                                            rebuild_every=self.reneigh_every))
+                self.aux = None
+            return self._backend_cache["backend"]
+        raise ValueError(f"unknown backend '{name}'")
+
+    def _ensure_runner(self):
+        backend = self._select_backend()
+        key = (self.spec, self.box.periodic, id(backend),
+               self.end_of_step_hook)
+        if self._runner is None or self._runner_key != key:
+            self._runner = Runner(self.spec, self.box, backend,
+                                  end_of_step=self.end_of_step_hook)
+            self._runner_key = key
+        return self._runner
+
+    def thermo(self, every: int):
+        self.thermo_every = every
+
+    def thermo_style(self, columns: List[str]):
+        self.thermo_columns = list(columns)
+        self._thermo = None
+
+    def add_thermo_column(self, name: str, fn: Callable):
+        """fn(sim, scalars_dict, istep) -> float; referenced by name in
+        thermo_style (the v_/c_ equation surface)."""
+        self.custom_columns[name] = fn
+
+    def _thermo_values(self, state: ParticleState, istep: int) -> Dict[str, float]:
+        sc = jax.device_get(thermo_scalars(state))
+        natoms = int(sc["natoms"])
+        vals: Dict[str, float] = {}
+        dim = self.spec.dim
+        for c in self.thermo_columns:
+            if c == "step":
+                vals[c] = istep
+            elif c == "time":
+                vals[c] = self.time_acc + (istep - self.step_count) * self.dt
+            elif c == "dt":
+                vals[c] = self.dt
+            elif c == "atoms":
+                vals[c] = natoms
+            elif c == "ke":
+                vals[c] = float(sc["ke"])
+            elif c == "pe":
+                vals[c] = float(sc["ie"])  # internal energy plays PE's role
+            elif c == "etotal":
+                vals[c] = float(sc["ke"]) + float(sc["ie"])
+            elif c == "temp":
+                vals[c] = 2.0 * float(sc["ke"]) / max(dim * natoms, 1)
+            elif c == "density":
+                vals[c] = float(sc["rho_avg"])
+            elif c in self.custom_columns:
+                vals[c] = float(self.custom_columns[c](self, sc, istep))
+            else:
+                raise ValueError(f"unknown thermo column '{c}'")
+        return vals
+
+    def _ensure_thermo(self) -> ThermoWriter:
+        if self._thermo is None:
+            self._thermo = ThermoWriter(self.thermo_columns,
+                                        screen=self.screen,
+                                        log_path=self.log_path)
+        return self._thermo
+
+    def run(self, nsteps: int):
+        if self.state is None:
+            self._build_state()
+            self.aux = None
+        runner = self._ensure_runner()
+        if self.aux is None and hasattr(runner.backend, "init_aux"):
+            # initial sort + cell build (Verlet::setup's exchange/borders/
+            # Neighbor::build — SURVEY §3.2)
+            self.state, self.aux = runner.backend.init_aux(self.state, self.box)
+        tw = self._ensure_thermo() if self.thermo_every or nsteps else None
+
+        # Verlet::setup: compute forces at the current step, thermo step 0.
+        self.state = runner.setup(self.state, self.tables,
+                                  istep=self.step_count, aux=self.aux)
+
+        def callback(state, istep):
+            if tw is not None:
+                tw.write_line(self._thermo_values(state, istep))
+            for d in self.dumps:
+                d.maybe_write(self, state, istep)
+
+        if tw is not None:
+            tw.write_header()
+            callback(self.state, self.step_count)
+
+        every = self.thermo_every if self.thermo_every > 0 else nsteps
+        t0 = runner.timings["loop"]
+        self.state, self.aux = runner.run(
+            self.state, self.tables, self.dt, nsteps,
+            istep0=self.step_count, every=every,
+            callback=callback, aux=self.aux)
+        loop_time = runner.timings["loop"] - t0
+
+        sc = jax.device_get(thermo_scalars(self.state))
+        if tw is not None:
+            tw.write_loop_summary(loop_time, jax.device_count(), nsteps,
+                                  int(sc["natoms"]),
+                                  breakdown={"Pair": loop_time})
+        self.time_acc += nsteps * self.dt
+        self.step_count += nsteps
+        return self
+
+    # ------------------------------------------------------------- accessors
+
+    def get(self, field: str) -> np.ndarray:
+        """Per-particle array for alive particles, in tag order
+        (lammps_extract_atom equivalent)."""
+        if self.state is None:
+            self._build_state()
+        dev = jax.device_get(self.state)
+        alive = dev.type > 0
+        order = np.argsort(dev.tag[alive], kind="stable")
+        if field == "t":
+            arr = dev.e / np.where(dev.cv > 0, dev.cv, 1.0)
+        else:
+            arr = getattr(dev, field)
+        return np.asarray(arr)[alive][order]
+
+    @property
+    def natoms(self) -> int:
+        if self.state is None:
+            return len(self._staged.get("x", ()))
+        return int(jax.device_get(self.state.nlocal()))

@@ -40,7 +40,10 @@ def initial_integrate(state: ParticleState, dt: float, box: Box) -> ParticleStat
     vest = jnp.where(movef, state.v + 2.0 * dtfm * state.f, state.vest)
     v = jnp.where(movef, state.v + dtfm * state.f, state.v)
     x = jnp.where(movef, state.x + dt * v, state.x)
-    x = box.wrap(x)
+    # NOTE: positions are NOT wrapped here. Like Domain::pbc in the reference,
+    # wrapping happens only at neighbor-rebuild time (the backend's `prepare`),
+    # so the cell grid's periodic-image topology stays consistent between
+    # rebuilds. The dense backend wraps every step.
 
     return dataclasses.replace(state, x=x, v=v, vest=vest, e=e, rho=rho)
 

@@ -23,6 +23,13 @@ from tpusph.state import Box, ParticleState
 _FIELD_KEYS = ("x", "vest", "rho", "e", "rmass", "type")
 
 
+def prepare(state: ParticleState, aux, istep, box: Box):
+    """Per-step hook (Domain::pbc equivalent): the dense backend has no cell
+    topology to keep stale, so positions are wrapped every step."""
+    import dataclasses
+    return dataclasses.replace(state, x=box.wrap(state.x)), aux
+
+
 def _state_fields(state: ParticleState):
     return dict(
         x=state.x, vest=state.vest, rho=state.rho, e=state.e,

@@ -1,0 +1,125 @@
+"""The step loop — TPU-native shape of Verlet::setup + Verlet::run
+(src/verlet.cpp, SURVEY.md §3.2).
+
+Design (SURVEY §7.2): ONE jit region per run block. A block of
+``thermo_every`` steps runs as a single compiled ``lax.fori_loop`` with the
+state buffers donated; thermo reductions are a second small jitted function.
+Host Python only sees state at thermo/dump cadence — the hot loop never
+leaves the device.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from functools import partial
+from typing import Any, Callable, Optional
+
+import jax
+import jax.numpy as jnp
+
+from tpusph import integrate
+from tpusph.forces import compute_forces
+from tpusph.params import PairTables, PhysicsSpec
+from tpusph.state import Box, ParticleState
+
+
+class Runner:
+    """Owns the compiled step. Rebuilt whenever static config changes
+    (spec, box periodicity, backend, dt is traced so it's cheap to change)."""
+
+    def __init__(self, spec: PhysicsSpec, box: Box, backend: Any,
+                 end_of_step: Optional[Callable] = None):
+        self.spec = spec
+        self.box = box
+        self.backend = backend
+        self.end_of_step = end_of_step  # fix hook (phase change), jit-safe
+        self.timings = {"loop": 0.0, "steps": 0}
+
+        spec_ = spec
+        box_ = box
+        backend_ = backend
+        eos_hook = end_of_step
+
+        prepare = getattr(backend, "prepare", None)
+
+        def _one_step(istep, carry):
+            state, tables, dt, aux = carry
+            state = integrate.initial_integrate(state, dt, box_)
+            if prepare is not None:
+                # Neighbor::decide + Domain::pbc + rebuild (SURVEY §3.2)
+                state, aux = prepare(state, aux, istep, box_)
+            state = compute_forces(state, tables, spec_, box_, backend_,
+                                   istep=istep, aux=aux)
+            state = integrate.final_integrate(state, dt)
+            if eos_hook is not None:
+                state, aux = eos_hook(state, tables, dt, istep, aux)
+            return (state, tables, dt, aux)
+
+        @partial(jax.jit, static_argnames=("nsteps",), donate_argnums=(0,))
+        def _run_block(state, tables, dt, istep0, aux, nsteps):
+            carry = (state, tables, dt, aux)
+            carry = jax.lax.fori_loop(
+                istep0, istep0 + nsteps,
+                _one_step, carry)
+            state, tables, dt, aux = carry
+            return state, aux
+
+        @jax.jit
+        def _setup_forces(state, tables, istep, aux):
+            # Verlet::setup: forces must exist before the first
+            # initial_integrate (SURVEY §3.2).
+            return compute_forces(state, tables, spec_, box_, backend_,
+                                  istep=istep, aux=aux)
+
+        self._run_block = _run_block
+        self._setup_forces = _setup_forces
+
+    def setup(self, state: ParticleState, tables: PairTables,
+              istep: int = 0, aux=None) -> ParticleState:
+        return self._setup_forces(state, tables, istep, aux)
+
+    def run(self, state: ParticleState, tables: PairTables, dt: float,
+            nsteps: int, istep0: int = 0, every: int = 0,
+            callback: Optional[Callable] = None, aux=None):
+        """Run ``nsteps`` steps from global step ``istep0``. ``callback`` is
+        invoked as callback(state, istep) at step 0 (after setup) and every
+        ``every`` steps (thermo/dump cadence). Returns (state, aux)."""
+        dt = jnp.asarray(dt, jnp.float32)
+        if every <= 0:
+            every = nsteps
+        done = 0
+        t0 = time.perf_counter()
+        while done < nsteps:
+            chunk = min(every, nsteps - done)
+            state, aux = self._run_block(state, tables, dt,
+                                         jnp.asarray(istep0 + done, jnp.int32),
+                                         aux, nsteps=chunk)
+            done += chunk
+            if callback is not None:
+                jax.block_until_ready(state.x)
+                callback(state, istep0 + done)
+        jax.block_until_ready(state.x)
+        self.timings["loop"] += time.perf_counter() - t0
+        self.timings["steps"] += nsteps
+        return state, aux
+
+
+# -- global thermo reductions (Thermo::compute, MPI_Allreduce -> psum) -------
+
+@jax.jit
+def thermo_scalars(state: ParticleState):
+    """Fused global reductions for thermo output. Returns a dict of device
+    scalars; one host transfer per thermo step."""
+    alive = state.alive
+    m = jnp.where(alive, state.rmass, 0.0)
+    ke = 0.5 * jnp.sum(m * jnp.sum(state.v * state.v, axis=-1))
+    ie = jnp.sum(jnp.where(alive, state.e, 0.0))
+    natoms = jnp.sum(alive.astype(jnp.int32))
+    cv = jnp.where(alive, state.cv, 1.0)
+    t_avg = jnp.sum(jnp.where(alive, state.e / cv, 0.0)) / jnp.maximum(natoms, 1)
+    rho_avg = jnp.sum(jnp.where(alive, state.rho, 0.0)) / jnp.maximum(natoms, 1)
+    mass = jnp.sum(m)
+    vmax = jnp.max(jnp.where(alive[:, None], jnp.abs(state.v), 0.0))
+    return dict(ke=ke, ie=ie, natoms=natoms, t_avg=t_avg, rho_avg=rho_avg,
+                mass=mass, vmax=vmax)
