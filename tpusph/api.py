@@ -65,6 +65,17 @@ class Simulation:
         self._runner_key = None
         self.end_of_step_hook = None   # (state, tables, dt, istep, aux)->state,aux
         self.aux = None
+        self.restart_schedule = None
+        self.phase_change_config = None
+
+    def configure_phase_change(self, config):
+        """fix phase_change: evaporation mass exchange (SURVEY §2.3, §3.5).
+        Installs the end-of-step hook over the particle pool."""
+        from tpusph.ops.phase_change import make_end_of_step_hook
+        self.phase_change_config = config
+        self.spec = self.spec._replace(phase_change=True)
+        self.end_of_step_hook = make_end_of_step_hook(config, self.spec)
+        self._runner = None  # force runner rebuild
 
     # ------------------------------------------------------------------ setup
 

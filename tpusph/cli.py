@@ -1,0 +1,68 @@
+"""Command-line entry point: ``python -m tpusph.cli run in.script [-var k v]``.
+
+Reference parity: src/main.cpp + the lammps.cpp CLI switches -in, -var,
+-log, -screen, -echo (SURVEY.md §5.6). ``-partition``/``-suffix`` have no
+TPU analog and are rejected with a clear message.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(
+        prog="tpusph",
+        description="TPU-native multiphase SPH engine (LAMMPS USER-SPH "
+                    "capability surface)")
+    sub = parser.add_subparsers(dest="cmd", required=True)
+
+    run_p = sub.add_parser("run", help="run a LAMMPS-style input script")
+    run_p.add_argument("script", help="input script path (or '-' for stdin)")
+    run_p.add_argument("-var", nargs=2, action="append", default=[],
+                       metavar=("NAME", "VALUE"),
+                       help="define an index variable (like lmp -var)")
+    run_p.add_argument("-log", default=None, help="mirror thermo to this file")
+    run_p.add_argument("-screen", default=None,
+                       help="'none' to silence stdout thermo")
+    run_p.add_argument("-echo", default=None, choices=["none", "screen"],
+                       help="echo input lines")
+    run_p.add_argument("--backend", default=None,
+                       choices=["auto", "dense", "cellgrid", "pallas"],
+                       help="force a compute backend")
+
+    bench_p = sub.add_parser("bench", help="run the throughput benchmark")
+    bench_p.add_argument("--particles", type=int, default=1_000_000)
+    bench_p.add_argument("--steps", type=int, default=200)
+    bench_p.add_argument("--dim", type=int, default=3)
+
+    args = parser.parse_args(argv)
+
+    if args.cmd == "run":
+        from tpusph.api import Simulation
+        from tpusph.script import Interpreter
+
+        sim = Simulation(log=args.log, screen=args.screen != "none")
+        if args.backend:
+            sim.backend_name = args.backend
+        interp = Interpreter(sim=sim,
+                             variables={k: v for k, v in args.var})
+        text = sys.stdin.read() if args.script == "-" else \
+            open(args.script).read()
+        if args.echo == "screen":
+            for line in text.splitlines():
+                print(f"> {line}")
+        interp.run_string(text)
+        return 0
+
+    if args.cmd == "bench":
+        from tpusph.bench import run_bench
+        result = run_bench(n_particles=args.particles, n_steps=args.steps,
+                           dim=args.dim)
+        print(result)
+        return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

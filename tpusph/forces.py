@@ -42,4 +42,10 @@ def compute_forces(state: ParticleState, tables: PairTables, spec: PhysicsSpec,
         cg = backend.color_gradient(state, tables, spec, box, **kw)
 
     f, drho, de = backend.force(state, tables, spec, box, cg=cg, **kw)
+
+    if spec.gravity:
+        # fix gravity: constant body acceleration on mobile alive particles
+        gmask = (state.alive & state.mobile)[:, None]
+        f = f + jnp.where(gmask, state.rmass[:, None] * tables.gravity[None, :], 0.0)
+
     return dataclasses.replace(state, f=f, drho=drho, de=de)

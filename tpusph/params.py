@@ -45,6 +45,8 @@ class PhysicsSpec(NamedTuple):
     phase_change: bool = False   # fix phase_change (evaporation)
     # density continuity term (accumulated by taitwater-family styles):
     continuity: bool = True
+    # `fix gravity` body force (vector lives in PairTables.gravity):
+    gravity: bool = False
 
 
 def _t1(ntypes, fill=0.0):
@@ -76,6 +78,7 @@ class PairTables:
     heat_D: jax.Array    # (T+1,T+1) heat diffusion coefficient
     sigma: jax.Array     # (T+1,T+1) surface-tension coefficient
     color: jax.Array     # (T+1,)   phase color for CSF (default = type value)
+    gravity: jax.Array   # (3,)     body acceleration (fix gravity)
     cut: jax.Array       # (T+1,T+1) support radius for the force sweep
     cut_rho: jax.Array   # (T+1,T+1) support radius for rhosum
     cut_heat: jax.Array  # (T+1,T+1) support radius for heat conduction
@@ -96,6 +99,7 @@ class PairTables:
             heat_D=jnp.asarray(_t2(ntypes)),
             sigma=jnp.asarray(_t2(ntypes)),
             color=jnp.asarray(np.arange(ntypes + 1, dtype=np.float32)),
+            gravity=jnp.zeros(3, jnp.float32),
             cut=jnp.asarray(_t2(ntypes)),
             cut_rho=jnp.asarray(_t2(ntypes)),
             cut_heat=jnp.asarray(_t2(ntypes)),
@@ -156,3 +160,7 @@ class PairTables:
 
     def set_color(self, i, color):
         self._set1("color", i, color)
+
+    def set_gravity(self, g):
+        object.__setattr__(self, "gravity",
+                           jnp.asarray(np.asarray(g, np.float32)))
