@@ -79,7 +79,11 @@ def color_gradient_pair(pi, pj, dx, r, tables: PairTables, mask, spec: PhysicsSp
     ci = tables.color[it]
     cj = tables.color[jt]
     rho_j = jnp.where(live, pj["rho"], 1.0)
-    coef = jnp.where(live, (pj["rmass"] / rho_j) * (cj - ci) * wfd, 0.0)
+    # sigma is folded into cg here (it's only nonzero across phases, exactly
+    # where c_j - c_i is); the capillary stress Pi is linear in |cg| so the
+    # force pass needs no further sigma factor.
+    sig = tables.sigma[it, jt]
+    coef = jnp.where(live, sig * (pj["rmass"] / rho_j) * (cj - ci) * wfd, 0.0)
     return coef[..., None] * dx
 
 
@@ -180,11 +184,12 @@ def force_pair(pi, pj, dx, rsq, mask, tables: PairTables, spec: PhysicsSpec,
         rho_j = jnp.where(live, pj["rho"], 1.0)
         m_i = jnp.where(live, mi, 1.0)
         m_j = jnp.where(live, mj, 1.0)
-        sig = tables.sigma[it, jt]
-        # Hu & Adams inter-particle form: f_i += sigma m_i m_j
-        #   (Pi_i/rho_i^2 + Pi_j/rho_j^2) . dx * wfd
+        # Hu & Adams inter-particle form (sigma already inside cg):
+        #   f_i += m_i m_j (Pi_i/rho_i^2 + Pi_j/rho_j^2) . dx * wfd
+        # summed over ALL pairs within cut_tension — the stress divergence
+        # needs same-phase neighbors, not just cross-phase ones.
         pi_dx = _capillary_stress_dot_dx(cg_i, dx, spec.dim) / (rho_i * rho_i)[..., None]
         pj_dx = _capillary_stress_dot_dx(cg_j, dx, spec.dim) / (rho_j * rho_j)[..., None]
-        f = f + jnp.where(live, sig * m_i * m_j * wfd, 0.0)[..., None] * (pi_dx + pj_dx)
+        f = f + jnp.where(live, m_i * m_j * wfd, 0.0)[..., None] * (pi_dx + pj_dx)
 
     return dict(f=f, drho=drho, de=de)

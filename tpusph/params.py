@@ -155,8 +155,14 @@ class PairTables:
         self._set2("cut_heat", i, j, h)
 
     def set_surfacetension(self, i, j, sigma, h):
+        """sigma applies to the i-j interface (folded into the color
+        gradient); the capillary-stress force sweep must run over ALL pairs
+        of the two phases (the stress divergence needs same-phase neighbors),
+        so the cutoff is set for (i,i), (j,j) and (i,j)."""
         self._set2("sigma", i, j, sigma)
         self._set2("cut_tension", i, j, h)
+        self._set2("cut_tension", i, i, h)
+        self._set2("cut_tension", j, j, h)
 
     def set_color(self, i, color):
         self._set1("color", i, color)
