@@ -71,7 +71,13 @@ class Simulation:
     def configure_phase_change(self, config):
         """fix phase_change: evaporation mass exchange (SURVEY §2.3, §3.5).
         Installs the end-of-step hook over the particle pool."""
+        import dataclasses as _dc
         from tpusph.ops.phase_change import make_end_of_step_hook
+        if config.cutoff <= 0.0 and self.tables is not None:
+            config = _dc.replace(config, cutoff=self.tables.max_cut())
+        if self.capacity_pad == 0 and config.mode == "insert":
+            # reserve pool headroom for insertions (recompile-free growth)
+            self.capacity_pad = max(len(self._staged.get("x", ())) // 4, 128)
         self.phase_change_config = config
         self.spec = self.spec._replace(phase_change=True)
         self.end_of_step_hook = make_end_of_step_hook(config, self.spec)

@@ -53,7 +53,9 @@ class Runner:
                                    istep=istep, aux=aux)
             state = integrate.final_integrate(state, dt)
             if eos_hook is not None:
-                state, aux = eos_hook(state, tables, dt, istep, aux)
+                # Modify::end_of_step slot (fix phase_change — SURVEY §3.5)
+                state, aux = eos_hook(state, tables, dt, istep, aux,
+                                      backend_, box_)
             return (state, tables, dt, aux)
 
         @partial(jax.jit, static_argnames=("nsteps",), donate_argnums=(0,))
