@@ -72,7 +72,7 @@ def test_cellgrid_matches_dense(dim, periodic):
     f_d, drho_d, de_d = dense.force(st, tables, spec, box, cg=cg_d)
 
     be, st_s, data = grid_backend(st, box, tables, dim)
-    assert int(data.overflow) == 0
+    assert int(data.overflow[0]) == 0
     rho_g = be.rho_summation(st_s, tables, spec, box, aux=data)
     cg_g = be.color_gradient(st_s, tables, spec, box, aux=data)
     f_g, drho_g, de_g = be.force(st_s, tables, spec, box, aux=data, cg=cg_g)

@@ -68,6 +68,26 @@ class Simulation:
         self.restart_schedule = None
         self.phase_change_config = None
 
+        # multi-device (dist) mode
+        self.mesh = None            # jax.sharding.Mesh over "bricks"
+        self.brick_spec = None
+        self.local_cap = None
+
+    def set_mesh(self, ndev: Optional[int] = None, axis_dim: int = 0,
+                 devices=None):
+        """Enable spatial domain decomposition over a device mesh
+        (the `processors` command analog — SURVEY §2.5). Must be called
+        before the first run."""
+        from jax.sharding import Mesh
+        from tpusph.dist import AXIS
+        if devices is None:
+            devices = jax.devices()[: (ndev or len(jax.devices()))]
+        self.mesh = Mesh(np.asarray(devices), (AXIS,))
+        self._mesh_axis_dim = axis_dim
+        self._runner = None
+        self.state = None
+        self.aux = None
+
     def configure_phase_change(self, config):
         """fix phase_change: evaporation mass exchange (SURVEY §2.3, §3.5).
         Installs the end-of-step hook over the particle pool."""
@@ -252,6 +272,8 @@ class Simulation:
         raise ValueError(f"unknown backend '{name}'")
 
     def _ensure_runner(self):
+        if self.mesh is not None:
+            return self._ensure_dist_runner()
         backend = self._select_backend()
         key = (self.spec, self.box.periodic, id(backend),
                self.end_of_step_hook)
@@ -259,6 +281,28 @@ class Simulation:
             self._runner = Runner(self.spec, self.box, backend,
                                   end_of_step=self.end_of_step_hook)
             self._runner_key = key
+        return self._runner
+
+    def _ensure_dist_runner(self):
+        from tpusph import dist
+        key = (self.spec, self.box.periodic, self.mesh,
+               self.end_of_step_hook)
+        if self._runner is None or self._runner_key != key:
+            cutoff = self.tables.max_cut()
+            skin = self.neighbor_skin if self.neighbor_skin is not None \
+                else 0.3 * cutoff
+            ndev = self.mesh.devices.size
+            self.brick_spec = dist.make_brick_spec(
+                self.box, ndev, cutoff, skin, self.natoms,
+                axis_dim=getattr(self, "_mesh_axis_dim", 0))
+            backend = dist.DistBackend(
+                self.brick_spec, self.box, self.spec.dim, cutoff, skin,
+                cap=self.cell_cap, rebuild_every=self.reneigh_every)
+            self._runner = dist.DistRunner(self.spec, self.box, backend,
+                                           self.mesh,
+                                           end_of_step=self.end_of_step_hook)
+            self._runner_key = key
+            self.state = None  # force repartition
         return self._runner
 
     def thermo(self, every: int):
@@ -311,11 +355,19 @@ class Simulation:
         return self._thermo
 
     def run(self, nsteps: int):
-        if self.state is None:
-            self._build_state()
-            self.aux = None
         runner = self._ensure_runner()
-        if self.aux is None and hasattr(runner.backend, "init_aux"):
+        if self.state is None:
+            if self.mesh is not None:
+                from tpusph import dist
+                staged = dict(self._staged)
+                self.state, self.local_cap = dist.partition_state(
+                    staged, self.brick_spec, self.mesh)
+                self.aux = None
+            else:
+                self._build_state()
+                self.aux = None
+        if self.mesh is None and self.aux is None \
+                and hasattr(runner.backend, "init_aux"):
             # initial sort + cell build (Verlet::setup's exchange/borders/
             # Neighbor::build — SURVEY §3.2)
             self.state, self.aux = runner.backend.init_aux(self.state, self.box)
@@ -324,6 +376,8 @@ class Simulation:
         # Verlet::setup: compute forces at the current step, thermo step 0.
         self.state = runner.setup(self.state, self.tables,
                                   istep=self.step_count, aux=self.aux)
+        if self.mesh is not None:
+            self.aux = runner.aux
 
         def callback(state, istep):
             if tw is not None:
@@ -360,10 +414,13 @@ class Simulation:
         if self.state is None:
             self._build_state()
         dev = jax.device_get(self.state)
-        alive = dev.type > 0
+        alive = (dev.type > 0) & dev.owned
         order = np.argsort(dev.tag[alive], kind="stable")
         if field == "t":
             arr = dev.e / np.where(dev.cv > 0, dev.cv, 1.0)
+        elif field == "x" and self.mesh is not None:
+            from tpusph.dist import globalize_positions
+            arr = globalize_positions(dev.x, self.brick_spec, self.local_cap)
         else:
             arr = getattr(dev, field)
         return np.asarray(arr)[alive][order]

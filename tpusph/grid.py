@@ -89,7 +89,7 @@ class GridData:
     counts: jax.Array     # (ncells,) i32 occupancy
     rank: jax.Array       # (N,) i32 index within own cell
     x_ref: jax.Array      # (N, 3) positions at build time (skin trigger)
-    overflow: jax.Array   # () i32 particles beyond cap in any cell (dropped!)
+    overflow: jax.Array   # (1,) i32 particles beyond cap in any cell (dropped!)
 
 
 def cell_coords(x: jax.Array, geom: GridGeometry) -> jax.Array:
@@ -108,16 +108,22 @@ def flat_cell_id(coords: jax.Array, geom: GridGeometry) -> jax.Array:
     return (coords[..., 0] * ncy + coords[..., 1]) * ncz + coords[..., 2]
 
 
-def build(state: ParticleState, geom: GridGeometry) -> tuple[ParticleState, GridData]:
+def build(state: ParticleState, geom: GridGeometry, extra=None):
     """Sort particles by cell id and build the cell index (Neighbor::build +
     the atom sort). Dead slots get the sentinel cell (= total_cells) so they
-    sort to the end and never appear as candidates."""
+    sort to the end and never appear as candidates.
+
+    ``extra``: optional pytree of (N,)-leading arrays permuted identically
+    (dist mode tracks halo bookkeeping through the sort with it). Returns
+    (state, GridData) or (state, GridData, extra_permuted)."""
     n = state.capacity
     ncells = geom.total_cells
     cid = flat_cell_id(cell_coords(state.x, geom), geom)
     cid = jnp.where(state.alive, cid, ncells)
     perm = jnp.argsort(cid, stable=True)
     state = state.permute(perm)
+    if extra is not None:
+        extra = jax.tree_util.tree_map(lambda a: a[perm], extra)
     cid = cid[perm]
 
     counts = jnp.zeros(ncells + 1, jnp.int32).at[cid].add(1)[:ncells]
@@ -127,9 +133,12 @@ def build(state: ParticleState, geom: GridGeometry) -> tuple[ParticleState, Grid
     rank = jnp.where(cid < ncells,
                      rank,
                      jnp.arange(n, dtype=jnp.int32) - starts[ncells])
-    overflow = jnp.sum(jnp.maximum(counts - geom.cap, 0))
-    return state, GridData(cell_id=cid, starts=starts, counts=counts,
-                           rank=rank, x_ref=state.x, overflow=overflow)
+    overflow = jnp.sum(jnp.maximum(counts - geom.cap, 0))[None]
+    data = GridData(cell_id=cid, starts=starts, counts=counts,
+                    rank=rank, x_ref=state.x, overflow=overflow)
+    if extra is not None:
+        return state, data, extra
+    return state, data
 
 
 def stencil_offsets(geom: GridGeometry) -> np.ndarray:

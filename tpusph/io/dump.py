@@ -74,7 +74,7 @@ class Dump:
     def write(self, sim, state, istep: int):
         f = self._ensure_file()
         dev = jax.device_get(state)
-        alive = dev.type > 0
+        alive = (dev.type > 0) & dev.owned
         idx = np.nonzero(alive)[0]
         order = idx[np.argsort(dev.tag[idx], kind="stable")]
         box = sim.box

@@ -83,7 +83,7 @@ def read_restart(path: str, sim):
     sim._runner_key = None
     # rebuild staging from the restored pool so set/group keep working
     dev = jax.device_get(sim.state)
-    alive = dev.type > 0
+    alive = (dev.type > 0) & dev.owned
     sim._staged = dict(
         x=np.asarray(dev.x[alive]), v=np.asarray(dev.v[alive]),
         type=np.asarray(dev.type[alive]), rho=np.asarray(dev.rho[alive]),

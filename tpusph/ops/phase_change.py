@@ -144,7 +144,7 @@ def _apply_phase_change(state: ParticleState, tables: PairTables, istep,
         cut = 1.0  # caller should set; fallback unit radius
 
     t_part = state.e / jnp.maximum(state.cv, 1e-30)
-    liquid = state.alive & (state.type == config.liquid_type)
+    liquid = state.alive & state.owned & (state.type == config.liquid_type)
 
     if config.require_interface or config.mode == "grow":
         if hasattr(backend, "vapor_neighbor"):
@@ -245,5 +245,6 @@ def _apply_phase_change(state: ParticleState, tables: PairTables, istep,
         type=put(state.type, jnp.full((n,), config.vapor_type, jnp.int32)),
         tag=put(state.tag, new_tag),
         mobile=put(state.mobile, jnp.ones(n, bool)),
+        owned=put(state.owned, jnp.ones(n, bool)),
     )
     return state, jnp.any(can)

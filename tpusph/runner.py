@@ -113,7 +113,7 @@ class Runner:
 def thermo_scalars(state: ParticleState):
     """Fused global reductions for thermo output. Returns a dict of device
     scalars; one host transfer per thermo step."""
-    alive = state.alive
+    alive = state.alive & state.owned  # ghosts are the owner's copies
     m = jnp.where(alive, state.rmass, 0.0)
     ke = 0.5 * jnp.sum(m * jnp.sum(state.v * state.v, axis=-1))
     ie = jnp.sum(jnp.where(alive, state.e, 0.0))

@@ -95,6 +95,7 @@ class ParticleState:
     type: jax.Array   # (N,) i32, 0 = dead
     tag: jax.Array    # (N,) i32
     mobile: jax.Array  # (N,) bool
+    owned: jax.Array   # (N,) bool; False = halo ghost (dist mode)
 
     @property
     def capacity(self) -> int:
@@ -105,8 +106,9 @@ class ParticleState:
         return self.type > 0
 
     def nlocal(self) -> jax.Array:
-        """Number of alive particles (device scalar)."""
-        return jnp.sum(self.alive.astype(jnp.int32))
+        """Number of alive OWNED particles (device scalar) — ghosts are the
+        neighbor brick's copies, not atoms (Atom::nlocal vs nghost)."""
+        return jnp.sum((self.alive & self.owned).astype(jnp.int32))
 
     @staticmethod
     def zeros(capacity: int) -> "ParticleState":
@@ -119,6 +121,7 @@ class ParticleState:
             type=jnp.zeros((capacity,), jnp.int32),
             tag=jnp.zeros((capacity,), jnp.int32),
             mobile=jnp.ones((capacity,), bool),
+            owned=jnp.ones((capacity,), bool),
         )
 
     @staticmethod
@@ -158,6 +161,7 @@ class ParticleState:
             type=pad(type, 0, np.int32),
             tag=pad(tag if tag is not None else np.arange(1, n + 1), 0, np.int32),
             mobile=pad(mobile if mobile is not None else np.ones(n, bool), False, bool),
+            owned=pad(np.ones(n, bool), False, bool),
         )
 
     def permute(self, perm: jax.Array) -> "ParticleState":
