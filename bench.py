@@ -1,0 +1,41 @@
+#!/usr/bin/env python
+"""Driver-facing benchmark: ONE JSON line with the headline metric
+(particle-steps/sec/chip on the 3D multiphase north-star config,
+BASELINE.md). Runs on whatever accelerator jax selects (the real TPU
+in the driver environment).
+
+Env knobs: TPUSPH_BENCH_PARTICLES, TPUSPH_BENCH_STEPS, TPUSPH_BENCH_BACKEND.
+"""
+
+import json
+import os
+import sys
+
+
+def main():
+    n = int(os.environ.get("TPUSPH_BENCH_PARTICLES", 1_000_000))
+    steps = int(os.environ.get("TPUSPH_BENCH_STEPS", 50))
+    backend = os.environ.get("TPUSPH_BENCH_BACKEND", "cellgrid")
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from tpusph.bench import run_bench
+
+    ladder = [n, 250_000, 64_000, 16_000]
+    result = None
+    for size in ladder:
+        if size > n:
+            continue
+        try:
+            result = run_bench(n_particles=size, n_steps=steps,
+                               backend=backend)
+            break
+        except Exception as err:  # OOM / flaky device: step down
+            sys.stderr.write(f"bench at {size} particles failed ({err}); "
+                             "stepping down\n")
+    if result is None:
+        raise SystemExit("benchmark failed at every size")
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -56,8 +56,9 @@ def test_tait_eos_pressure_values():
     tables.set_taitwater(1, 1, rho0=1000.0, c0=10.0, viscosity=0.0, h=1.0)
     spec = PhysicsSpec(tait=True)
     rho = jnp.asarray([1000.0, 1100.0, 900.0])
-    t = jnp.ones(3, jnp.int32)
-    p_over, p = eos_pressure_over_rhosq(rho, jnp.zeros(3), jnp.ones(3), t, tables, spec)
+    p_over, p = eos_pressure_over_rhosq(
+        rho, jnp.zeros(3), jnp.ones(3),
+        tables.rho0[1], tables.tait_b[1], tables.gas_gamma[1], spec)
     b = 10.0**2 * 1000.0 / 7.0
     expect = b * ((np.array([1000.0, 1100, 900]) / 1000.0) ** 7 - 1.0)
     np.testing.assert_allclose(np.asarray(p), expect, rtol=1e-5)

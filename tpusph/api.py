@@ -250,9 +250,8 @@ class Simulation:
             name = "dense" if n <= 2048 else "cellgrid"
         if name == "dense":
             return dense
-        if name == "cellgrid":
+        if name in ("cellgrid", "pallas"):
             from tpusph import grid as gridlib
-            from tpusph.ops.cellgrid import CellGridBackend
             cutoff = self.tables.max_cut()
             skin = self.neighbor_skin if self.neighbor_skin is not None \
                 else 0.3 * cutoff
@@ -261,12 +260,18 @@ class Simulation:
             geom = gridlib.make_geometry(self.box, cutoff, self.spec.dim,
                                          skin=skin, cap=self.cell_cap,
                                          avg_per_cell=avg)
-            key = (geom, self.reneigh_every)
+            key = (name, geom, self.reneigh_every)
             if self._backend_cache.get("key") != key:
-                self._backend_cache = dict(
-                    key=key,
-                    backend=CellGridBackend(geom,
-                                            rebuild_every=self.reneigh_every))
+                if name == "pallas":
+                    from tpusph.ops.pallas_pair import PallasBackend
+                    backend = PallasBackend(geom, self.box,
+                                            ntypes=self.tables.ntypes,
+                                            rebuild_every=self.reneigh_every)
+                else:
+                    from tpusph.ops.cellgrid import CellGridBackend
+                    backend = CellGridBackend(
+                        geom, rebuild_every=self.reneigh_every)
+                self._backend_cache = dict(key=key, backend=backend)
                 self.aux = None
             return self._backend_cache["backend"]
         raise ValueError(f"unknown backend '{name}'")

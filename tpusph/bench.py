@@ -1,0 +1,112 @@
+"""Throughput benchmark: particle-steps/sec/chip on the BASELINE.md
+north-star configuration (3D multiphase: rhosum + taitwater + heat
+conduction + CSF surface tension over a sorted cell grid).
+
+The baseline denominator is the reference's estimated single-node LAMMPS
+CPU throughput for this pair-style mix, 5e7 particle-steps/s/node
+(BASELINE.md: O(1-5)e6 per core, O(1e7-1e8) per node; the repo publishes no
+numbers — BASELINE.json "published": {}). vs_baseline = ours / 5e7; the
+north-star target is >= 50.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+
+
+BASELINE_NODE_PSPS = 5.0e7  # estimated reference single-node particle-steps/s
+
+
+def build_bench_sim(n_particles: int, dim: int = 3, multiphase: bool = True,
+                    backend: str = "cellgrid"):
+    """A periodic 3D two-phase block: a vapor sphere inside liquid."""
+    import jax
+    from tpusph.api import Simulation
+
+    sim = Simulation(dim=dim, screen=False)
+    sim.backend_name = backend
+
+    # lattice sized to hit the particle budget
+    per_side = int(round(n_particles ** (1.0 / dim)))
+    dx = 1.0
+    L = per_side * dx
+    h = 3.0 * dx
+    rho0 = 1.0
+    m = rho0 * dx**dim
+
+    per = (True, True, True) if dim == 3 else (True, True, False)
+    sim.create_box([0, 0, 0], [L, L, L if dim == 3 else 1.0],
+                   periodic=per, ntypes=2 if multiphase else 1)
+
+    ax = np.arange(per_side, dtype=np.float32) * dx
+    if dim == 3:
+        g = np.stack(np.meshgrid(ax, ax, ax, indexing="ij"), -1).reshape(-1, 3)
+    else:
+        g2 = np.stack(np.meshgrid(ax, ax, indexing="ij"), -1).reshape(-1, 2)
+        g = np.concatenate([g2, np.zeros((len(g2), 1), np.float32)], axis=1)
+
+    types = np.ones(len(g), np.int32)
+    if multiphase:
+        c = L / 2.0
+        r = np.linalg.norm(g - c, axis=1)
+        types[r < L / 5.0] = 2
+    sim.add_particles(g, types, rho=rho0, e=1.0, cv=1.0, rmass=m)
+
+    sim.pair_rhosum(every=1)
+    sim.pair_taitwater(morris=False)
+    sim.pair_heatconduction()
+    for i in (1, 2) if multiphase else (1,):
+        for j in range(i, (2 if multiphase else 1) + 1):
+            sim.tables.set_taitwater(i, j, rho0=rho0, c0=10.0,
+                                     viscosity=0.3, h=h)
+            sim.tables.set_rhosum(i, j, h=h)
+            sim.tables.set_heatconduction(i, j, d=0.05, h=h)
+    if multiphase:
+        sim.pair_surfacetension()
+        sim.tables.set_surfacetension(1, 2, sigma=0.05, h=h)
+
+    sim.neighbor_skin = 0.5 * dx
+    sim.dt = 2e-3
+    sim.thermo(0)
+    return sim
+
+
+def run_bench(n_particles: int = 1_000_000, n_steps: int = 50, dim: int = 3,
+              multiphase: bool = True, backend: str = "cellgrid",
+              warmup_steps: int = 5) -> dict:
+    import jax
+
+    sim = build_bench_sim(n_particles, dim=dim, multiphase=multiphase,
+                          backend=backend)
+    n = sim.natoms
+
+    # warmup with the SAME chunk size as the timed run (nsteps is a static
+    # jit arg: a different chunk would recompile inside the timed region)
+    sim.run(n_steps)
+    jax.block_until_ready(sim.state.x)
+
+    t0 = time.perf_counter()
+    sim.run(n_steps)
+    jax.block_until_ready(sim.state.x)
+    dt_wall = time.perf_counter() - t0
+
+    psps = n * n_steps / dt_wall
+    return {
+        "metric": f"particle-steps/sec/chip @ {n} particles "
+                  f"({dim}D multiphase: rhosum+taitwater+heatcond+CSF, "
+                  f"backend={backend})",
+        "value": round(psps, 1),
+        "unit": "particle-steps/s",
+        "vs_baseline": round(psps / BASELINE_NODE_PSPS, 4),
+        "wall_s": round(dt_wall, 3),
+        "steps": n_steps,
+        "particles": int(n),
+        "device": str(jax.devices()[0]),
+    }
+
+
+if __name__ == "__main__":
+    print(json.dumps(run_bench()))

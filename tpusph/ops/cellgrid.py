@@ -166,7 +166,10 @@ class CellGridBackend:
             pi = {k: _bi(v, i_rows) for k, v in _fields(state).items()}
             pj = {k: _bj(v, j_rows) for k, v in _fields(state).items()}
             r = jnp.sqrt(jnp.maximum(rsq, 1e-30))
-            contrib = pair_terms.color_gradient_pair(pi, pj, dx, r, tables,
+            coefs = pair_terms.make_pair_coefs(
+                tables, state.type[i_rows][:, None],
+                state.type[j_rows][None, :], spec)
+            contrib = pair_terms.color_gradient_pair(pi, pj, dx, r, coefs,
                                                      pair_ok, spec)
             return jnp.sum(contrib, axis=1)
 
@@ -190,7 +193,10 @@ class CellGridBackend:
             kw = {}
             if spec.surface_tension:
                 kw = dict(cg_i=cg[i_rows][:, None, :], cg_j=cg[j_rows][None, :, :])
-            out = pair_terms.force_pair(pi, pj, dx, rsq, pair_ok, tables, spec, **kw)
+            coefs = pair_terms.make_pair_coefs(
+                tables, state.type[i_rows][:, None],
+                state.type[j_rows][None, :], spec)
+            out = pair_terms.force_pair(pi, pj, dx, rsq, pair_ok, coefs, spec, **kw)
             return (jnp.sum(out["f"], axis=1), jnp.sum(out["drho"], axis=1),
                     jnp.sum(out["de"], axis=1))
 

@@ -101,7 +101,10 @@ def color_gradient(state: ParticleState, tables: PairTables, spec: PhysicsSpec,
         r = jnp.sqrt(jnp.maximum(rsq, 1e-30))
         pi_b = {k: v[:, None] if v.ndim == 1 else v[:, None, :] for k, v in pi.items()}
         pj_b = {k: v[None, :] if v.ndim == 1 else v[None, :, :] for k, v in pj.items()}
-        contrib = pair_terms.color_gradient_pair(pi_b, pj_b, dx, r, tables, mask, spec)
+        coefs = pair_terms.make_pair_coefs(
+            tables, pi["type"][:, None], pj["type"][None, :], spec)
+        contrib = pair_terms.color_gradient_pair(pi_b, pj_b, dx, r, coefs,
+                                                 mask, spec)
         return jnp.sum(contrib, axis=1)
 
     cg = _rowwise(fn, state, box)
@@ -121,7 +124,9 @@ def force(state: ParticleState, tables: PairTables, spec: PhysicsSpec, box: Box,
         kw = {}
         if spec.surface_tension:
             kw = dict(cg_i=extra_i["cg"][:, None, :], cg_j=cg[None, :, :])
-        out = pair_terms.force_pair(pi_b, pj_b, dx, rsq, mask, tables, spec, **kw)
+        coefs = pair_terms.make_pair_coefs(
+            tables, pi["type"][:, None], pj["type"][None, :], spec)
+        out = pair_terms.force_pair(pi_b, pj_b, dx, rsq, mask, coefs, spec, **kw)
         return jax.tree_util.tree_map(lambda a: jnp.sum(a, axis=1), out)
 
     out = _rowwise(fn, state, box, extra=extra)

@@ -2,8 +2,13 @@
 
 Shape-polymorphic: the ``i`` side and ``j`` side are dicts of arrays with any
 common broadcastable batch shape ``(...,)`` (vectors ``(..., 3)``). Backends
-produce those batches differently — dense (N, N), neighbor list (N, K),
-Pallas tiles (CAP, 27*CAP) — but the physics below is identical.
+produce those batches differently — dense (N, N), cell grid (CAP, S*CAP),
+Pallas tiles — but the physics below is identical.
+
+Coefficients arrive as a ``coefs`` dict of PAIRWISE-shaped arrays (built by
+``make_pair_coefs`` from integer type indexing in the XLA backends, or by
+one-hot MXU contractions in the Pallas kernel where integer gathers don't
+lower well).
 
 Equation provenance (SURVEY.md §2.2–2.3; upstream USER-SPH pair styles):
 
@@ -17,10 +22,11 @@ Equation provenance (SURVEY.md §2.2–2.3; upstream USER-SPH pair styles):
   sph/idealgas            P = (gamma - 1) rho (e / m).
   sph/heatconduction      de_i += (2 m_i m_j/(m_i+m_j)) ((rho_i+rho_j)/(rho_i rho_j))
                                   D (e_i - e_j) wfd      (Cleary–Monaghan form)
-  sph/colorgradient       cg_i = sum_j (m_j/rho_j)(c_j - c_i) grad_i W
+  sph/colorgradient       cg_i = sum_j sigma_ij (m_j/rho_j)(c_j - c_i) grad_i W
   sph/surfacetension      Hu & Adams (2006) capillary stress
                           Pi^{ab} = (|cg|^2 d^{ab}/dim - cg^a cg^b)/max(|cg|,eps)
-                          f_i += sigma m_i m_j (Pi_i/rho_i^2 + Pi_j/rho_j^2).dx wfd
+                          f_i += m_i m_j (Pi_i/rho_i^2 + Pi_j/rho_j^2).dx wfd
+                          (sigma folded into cg; sweep over ALL phase pairs)
 """
 
 from __future__ import annotations
@@ -33,6 +39,41 @@ from tpusph import kernels
 from tpusph.params import PairTables, PhysicsSpec
 
 EPS_CG = 1e-6  # |colorgradient| floor for the capillary stress
+
+# which tables the force/cg sweeps need, by arity
+PAIR_TABLES_2D = ("cut", "visc", "heat_D", "cut_heat", "sigma", "cut_tension")
+PAIR_TABLES_1D = ("rho0", "tait_b", "c0", "gas_gamma", "color")
+
+
+def make_pair_coefs(tables: PairTables, it, jt, spec: PhysicsSpec) -> Dict:
+    """Pairwise coefficient arrays via integer type indexing (XLA backends).
+    it/jt are broadcastable integer type arrays."""
+    c = {}
+    for name in PAIR_TABLES_2D:
+        c[name] = getattr(tables, name)[it, jt]
+    for name in PAIR_TABLES_1D:
+        tab = getattr(tables, name)
+        c[name + "_i"] = tab[it]
+        c[name + "_j"] = tab[jt]
+    return c
+
+
+def make_pair_coefs_onehot(tables: PairTables, oh_i, oh_j,
+                           spec: PhysicsSpec) -> Dict:
+    """Pairwise coefficients via one-hot contractions — MXU-friendly for
+    Pallas (no integer gathers). oh_i: (..., I, T+1); oh_j: (..., J, T+1);
+    2D results have shape (..., I, J), 1D results (..., I, 1) / (..., 1, J).
+    """
+    c = {}
+    for name in PAIR_TABLES_2D:
+        tab = getattr(tables, name)
+        c[name] = jnp.einsum("it,tu,ju->ij", oh_i, tab, oh_j,
+                             preferred_element_type=jnp.float32)
+    for name in PAIR_TABLES_1D:
+        tab = getattr(tables, name)
+        c[name + "_i"] = (oh_i @ tab)[..., :, None]
+        c[name + "_j"] = (oh_j @ tab)[..., None, :]
+    return c
 
 
 def gather_fields(state, idx) -> Dict[str, jnp.ndarray]:
@@ -47,20 +88,16 @@ def gather_fields(state, idx) -> Dict[str, jnp.ndarray]:
     )
 
 
-def eos_pressure_over_rhosq(rho, e, rmass, ptype, tables: PairTables, spec: PhysicsSpec):
-    """P/rho^2 per particle for the enabled EOS (Tait or ideal gas).
-
-    Inputs are pre-sanitized (rho > 0 on dead slots is the caller's job).
-    """
+def eos_pressure_over_rhosq(rho, e, rmass, rho0, tait_b, gamma,
+                            spec: PhysicsSpec):
+    """P/rho^2 for the enabled EOS (Tait or ideal gas). Inputs pre-sanitized
+    (rho > 0 on dead slots is the caller's job)."""
     if spec.ideal_gas and not spec.tait:
-        gamma = tables.gas_gamma[ptype]
         p = (gamma - 1.0) * rho * e / rmass
     else:
-        rho0 = tables.rho0[ptype]
-        b = tables.tait_b[ptype]
         q = rho / rho0
         q3 = q * q * q
-        p = b * (q3 * q3 * q - 1.0)
+        p = tait_b * (q3 * q3 * q - 1.0)
     return p / (rho * rho), p
 
 
@@ -70,20 +107,20 @@ def rho_summation_pair(pj, r, cut_ij, mask, spec: PhysicsSpec):
     return jnp.where(mask & (cut_ij > 0.0), pj["rmass"] * w, 0.0)
 
 
-def color_gradient_pair(pi, pj, dx, r, tables: PairTables, mask, spec: PhysicsSpec):
-    """(m_j/rho_j)(c_j - c_i) grad_i W contribution to cg_i, shape (..., 3)."""
-    it, jt = pi["type"], pj["type"]
-    cut_ij = tables.cut_tension[it, jt]
+def color_gradient_pair(pi, pj, dx, r, coefs, mask, spec: PhysicsSpec):
+    """sigma_ij (m_j/rho_j)(c_j - c_i) grad_i W contribution to cg_i,
+    shape (..., 3). sigma is folded in here: it's only nonzero across phases,
+    exactly where c_j - c_i is; the capillary stress is linear in |cg| so the
+    force pass needs no further sigma factor."""
+    cut_ij = coefs["cut_tension"]
     live = mask & (cut_ij > 0.0)
     wfd = kernels.kernel_wfd(spec.kernel, spec.dim)(r, jnp.maximum(cut_ij, 1e-30))
-    ci = tables.color[it]
-    cj = tables.color[jt]
     rho_j = jnp.where(live, pj["rho"], 1.0)
-    # sigma is folded into cg here (it's only nonzero across phases, exactly
-    # where c_j - c_i is); the capillary stress Pi is linear in |cg| so the
-    # force pass needs no further sigma factor.
-    sig = tables.sigma[it, jt]
-    coef = jnp.where(live, sig * (pj["rmass"] / rho_j) * (cj - ci) * wfd, 0.0)
+    coef = jnp.where(
+        live,
+        coefs["sigma"] * (pj["rmass"] / rho_j)
+        * (coefs["color_j"] - coefs["color_i"]) * wfd,
+        0.0)
     return coef[..., None] * dx
 
 
@@ -96,17 +133,16 @@ def _capillary_stress_dot_dx(cg, dx, dim):
     return (cg2[..., None] * dx / dim - cg_dot_dx[..., None] * cg) / norm[..., None]
 
 
-def force_pair(pi, pj, dx, rsq, mask, tables: PairTables, spec: PhysicsSpec,
+def force_pair(pi, pj, dx, rsq, mask, coefs, spec: PhysicsSpec,
                cg_i=None, cg_j=None):
     """All force-sweep pair terms fused: returns dict with
     f (..., 3), drho (...), de (...) — contributions TO particle i.
 
-    ``dx = x_i - x_j`` (minimum image already applied), ``rsq = |dx|^2``.
+    ``dx = x_i - x_j`` (periodic image already applied), ``rsq = |dx|^2``.
     ``mask`` excludes self pairs and dead slots. No Newton halving: each side
     computes its own full sum (SURVEY.md §7.2 design decision — trades 2x
     FLOPs for deleting the reverse-comm scatter).
     """
-    it, jt = pi["type"], pj["type"]
     r = jnp.sqrt(jnp.maximum(rsq, 1e-30))
 
     f = jnp.zeros_like(dx)
@@ -120,19 +156,23 @@ def force_pair(pi, pj, dx, rsq, mask, tables: PairTables, spec: PhysicsSpec,
     dvdr = jnp.sum(dv * dx, axis=-1)
 
     if spec.tait or spec.morris or spec.ideal_gas:
-        cut_ij = tables.cut[it, jt]
+        cut_ij = coefs["cut"]
         live = mask & (rsq < cut_ij * cut_ij) & (cut_ij > 0.0)
         wfd = jnp.where(live, wfd_fn(r, jnp.maximum(cut_ij, 1e-30)), 0.0)
         rho_i = jnp.where(live, pi["rho"], 1.0)
         rho_j = jnp.where(live, pj["rho"], 1.0)
         m_i = jnp.where(live, mi, 1.0)
         m_j = jnp.where(live, mj, 1.0)
-        fi, _ = eos_pressure_over_rhosq(rho_i, pi["e"], m_i, it, tables, spec)
-        fj, _ = eos_pressure_over_rhosq(rho_j, pj["e"], m_j, jt, tables, spec)
+        fi, _ = eos_pressure_over_rhosq(
+            rho_i, pi["e"], m_i, coefs["rho0_i"], coefs["tait_b_i"],
+            coefs["gas_gamma_i"], spec)
+        fj, _ = eos_pressure_over_rhosq(
+            rho_j, pj["e"], m_j, coefs["rho0_j"], coefs["tait_b_j"],
+            coefs["gas_gamma_j"], spec)
 
         if spec.morris:
             # Morris laminar viscosity: force along dv, not dx.
-            fvisc_coef = 2.0 * tables.visc[it, jt] / (rho_i * rho_j)
+            fvisc_coef = 2.0 * coefs["visc"] / (rho_i * rho_j)
             fvisc = jnp.where(live, m_i * m_j * fvisc_coef * wfd, 0.0)
             fpair = jnp.where(live, -m_i * m_j * (fi + fj) * wfd, 0.0)
             f = f + fpair[..., None] * dx + fvisc[..., None] * dv
@@ -145,16 +185,16 @@ def force_pair(pi, pj, dx, rsq, mask, tables: PairTables, spec: PhysicsSpec,
             # Monaghan artificial viscosity for approaching pairs.
             h_ij = jnp.maximum(cut_ij, 1e-30)
             mu = h_ij * dvdr / (rsq + 0.01 * h_ij * h_ij)
-            ci = tables.c0[it]
-            cj = tables.c0[jt]
+            ci = coefs["c0_i"]
+            cj = coefs["c0_j"]
             if spec.ideal_gas and not spec.tait:
-                # idealgas style: soundspeed from EOS, c = sqrt(gamma(gamma-1) e/m)
-                gi, gj = tables.gas_gamma[it], tables.gas_gamma[jt]
+                # idealgas style: c = sqrt(gamma(gamma-1) e/m)
+                gi, gj = coefs["gas_gamma_i"], coefs["gas_gamma_j"]
                 ci = jnp.sqrt(jnp.maximum(gi * (gi - 1.0) * pi["e"] / m_i, 0.0))
                 cj = jnp.sqrt(jnp.maximum(gj * (gj - 1.0) * pj["e"] / m_j, 0.0))
             fvisc = jnp.where(
                 dvdr < 0.0,
-                -tables.visc[it, jt] * (ci + cj) * mu / (rho_i + rho_j),
+                -coefs["visc"] * (ci + cj) * mu / (rho_i + rho_j),
                 0.0,
             )
             fpair = jnp.where(live, -m_i * m_j * (fi + fj + fvisc) * wfd, 0.0)
@@ -165,19 +205,19 @@ def force_pair(pi, pj, dx, rsq, mask, tables: PairTables, spec: PhysicsSpec,
             drho = drho + jnp.where(live, m_j * dvdr * wfd, 0.0)
 
     if spec.heatconduction:
-        cut_h = tables.cut_heat[it, jt]
+        cut_h = coefs["cut_heat"]
         live = mask & (rsq < cut_h * cut_h) & (cut_h > 0.0)
         wfd = jnp.where(live, wfd_fn(r, jnp.maximum(cut_h, 1e-30)), 0.0)
         rho_i = jnp.where(live, pi["rho"], 1.0)
         rho_j = jnp.where(live, pj["rho"], 1.0)
         m_i = jnp.where(live, mi, 1.0)
         m_j = jnp.where(live, mj, 1.0)
-        d_ij = tables.heat_D[it, jt]
         coef = (2.0 * m_i * m_j / (m_i + m_j)) * ((rho_i + rho_j) / (rho_i * rho_j))
-        de = de + jnp.where(live, coef * d_ij * (pi["e"] - pj["e"]) * wfd, 0.0)
+        de = de + jnp.where(
+            live, coef * coefs["heat_D"] * (pi["e"] - pj["e"]) * wfd, 0.0)
 
     if spec.surface_tension:
-        cut_t = tables.cut_tension[it, jt]
+        cut_t = coefs["cut_tension"]
         live = mask & (rsq < cut_t * cut_t) & (cut_t > 0.0)
         wfd = jnp.where(live, wfd_fn(r, jnp.maximum(cut_t, 1e-30)), 0.0)
         rho_i = jnp.where(live, pi["rho"], 1.0)

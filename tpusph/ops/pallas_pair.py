@@ -1,0 +1,608 @@
+"""Fused Pallas TPU pair kernels over the sorted cell grid — the
+speed-of-light path for the reference's pair-style inner loops
+(SURVEY.md §2.11 item 1: one family of fused kernels replacing
+pair_sph_taitwater[/morris], _idealgas, _heatconduction, _rhosum,
+_colorgradient, _surfacetension).
+
+Kernel shape (the "column kernel")
+----------------------------------
+Particles are sorted by cell id (tpusph.grid). Cells are grouped into
+COLUMNS along the innermost grid axis (z in 3D, y in 2D), so a column's
+particles occupy ONE contiguous lane range of a dense (ncols, F, ncz*cap)
+cell-major array. Each Pallas program processes one column:
+
+  - fetches its own column + the 8 (3D) / 2 (2D) xy-neighbor columns as
+    pipelined VMEM blocks (automatic double-buffering via BlockSpec
+    index maps — pure arithmetic on the program id, no gather tables);
+  - loops over the column's cells; per cell the j-candidates are the
+    z-triplet bands of each neighbor column, taken as dynamic VMEM slices
+    (periodic wrap via modular slice starts + per-slice image shifts);
+  - computes masked all-pairs physics on (cap, S*cap) f32 tiles — sublane
+    dim cap, lane dim a multiple of 128: the VPU-native layout;
+  - type-pair coefficients come from one-hot contractions on the MXU
+    (integer gathers don't lower well in Mosaic);
+  - per-particle sums are written to a (ncols, 8, ncz*cap) output block.
+
+Vector components are unrolled into separate (cap, J) arrays — no
+(..., 3)-trailing-dim tensors anywhere (lane-dim-3 layouts are pathological
+on TPU). The physics matches ops/pair_terms.py term by term; the
+equivalence tests enforce it against the XLA cell-grid/dense oracles.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+import math
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from tpusph import grid as gridlib
+from tpusph import kernels
+from tpusph.params import PairTables, PhysicsSpec
+from tpusph.state import Box, ParticleState
+
+# packed field rows (F = 16)
+F_ROWS = 16
+RX, RY, RZ, RVX, RVY, RVZ, RRHO, RE, RM, RTYPE, RCGX, RCGY, RCGZ = range(13)
+# output rows (8)
+OFX, OFY, OFZ, ODRHO, ODE, ORHO, OCGX, OCGY = range(8)
+
+
+class ColumnGrid(NamedTuple):
+    """Static column-kernel geometry derived from GridGeometry."""
+    ncx: int
+    ncy: int
+    ncz: int          # cells per column (innermost axis)
+    cap: int
+    dim: int
+    periodic: tuple
+    lengths: tuple    # global box lengths (Lx, Ly, Lz)
+    col_axis: int     # 2 in 3D, 1 in 2D
+
+    @property
+    def ncols(self) -> int:
+        return self.ncx * self.ncy if self.dim == 3 else self.ncx
+
+    @property
+    def nnbr(self) -> int:
+        return 9 if self.dim == 3 else 3
+
+    @property
+    def col_cap(self) -> int:
+        return self.ncz * self.cap
+
+
+def make_column_grid(geom: gridlib.GridGeometry, box: Box) -> ColumnGrid:
+    ncx, ncy, ncz = geom.ncells
+    L = tuple(float(v) for v in np.asarray(box.hi) - np.asarray(box.lo))
+    if geom.dim == 3:
+        return ColumnGrid(ncx, ncy, ncz, geom.cap, 3, geom.periodic, L, 2)
+    # 2D: grid is (ncx, ncy, 1); columns run along y
+    return ColumnGrid(ncx, 1, ncy, geom.cap, 2, geom.periodic, L, 1)
+
+
+# --------------------------------------------------------------------------
+# XLA-side packing: sorted rows -> dense (ncols, F, col_cap) cell-major array
+# --------------------------------------------------------------------------
+
+def pack_dense(state: ParticleState, data: gridlib.GridData, cg: ColumnGrid,
+               cgrad=None):
+    n = state.capacity
+    flat_pos = data.cell_id * cg.cap + data.rank
+    ok = state.alive & (data.rank < cg.cap) & \
+        (data.cell_id < cg.ncols * cg.ncz)
+    flat_pos = jnp.where(ok, flat_pos, cg.ncols * cg.col_cap)
+
+    cols = [state.x[:, 0], state.x[:, 1], state.x[:, 2],
+            state.vest[:, 0], state.vest[:, 1], state.vest[:, 2],
+            state.rho, state.e, state.rmass,
+            state.type.astype(jnp.float32)]
+    if cgrad is not None:
+        cols += [cgrad[:, 0], cgrad[:, 1], cgrad[:, 2]]
+    else:
+        cols += [jnp.zeros(n)] * 3
+    cols += [jnp.zeros(n)] * (F_ROWS - len(cols))
+    packed_rows = jnp.stack(cols, axis=1)  # (n, F)
+
+    dense = jnp.zeros((cg.ncols * cg.col_cap, F_ROWS), jnp.float32)
+    dense = dense.at[flat_pos].set(
+        jnp.where(ok[:, None], packed_rows, 0.0), mode="drop")
+    # (ncols, ncz, F, cap): the per-cell page is selected by a LEADING-dim
+    # dynamic index in the kernel (Mosaic allows that; dynamic LANE offsets
+    # would need 128-multiple proofs)
+    dense = dense.reshape(cg.ncols, cg.ncz, cg.cap, F_ROWS).transpose(0, 1, 3, 2)
+    return dense, flat_pos, ok
+
+
+def unpack_dense(out, flat_pos, ok, rows_wanted):
+    """out: (ncols, ncz, 8, cap) -> per-sorted-row arrays for `rows_wanted`
+    (list of output-row ids)."""
+    ncols, ncz, _, cap = out.shape
+    flat = out.transpose(0, 1, 3, 2).reshape(ncols * ncz * cap, 8)
+    safe = jnp.where(ok, flat_pos, 0)
+    per_row = flat[safe]
+    outs = [jnp.where(ok, per_row[:, r], 0.0) for r in rows_wanted]
+    return outs
+
+
+# --------------------------------------------------------------------------
+# the kernel
+# --------------------------------------------------------------------------
+
+def _neighbor_offsets(cg: ColumnGrid):
+    if cg.dim == 3:
+        return [(ox, oy) for ox in (-1, 0, 1) for oy in (-1, 0, 1)]
+    return [(ox, 0) for ox in (-1, 0, 1)]
+
+
+def _col_index_map(cg: ColumnGrid, ox: int, oy: int):
+    """Block index of the (ox, oy)-offset neighbor column; invalid neighbors
+    (non-periodic edge) map to the sentinel column (index ncols)."""
+    ncx, ncy = cg.ncx, cg.ncy
+    px = cg.periodic[0]
+    py = cg.periodic[1] if cg.dim == 3 else False
+
+    def imap(c):
+        if cg.dim == 3:
+            cx = c // ncy
+            cy = c % ncy
+            nx = cx + ox
+            ny = cy + oy
+            if px:
+                nx = jax.lax.rem(nx + ncx, ncx)
+            if py:
+                ny = jax.lax.rem(ny + ncy, ncy)
+            valid = jnp.logical_and(
+                jnp.logical_and(nx >= 0, nx < ncx),
+                jnp.logical_and(ny >= 0, ny < ncy))
+            idx = nx * ncy + ny
+        else:
+            nx = c + ox
+            if px:
+                nx = jax.lax.rem(nx + ncx, ncx)
+            valid = jnp.logical_and(nx >= 0, nx < ncx)
+            idx = nx
+        return (jnp.where(valid, idx, cg.ncols), 0, 0, 0)
+
+    return imap
+
+
+def _col_shift(cg: ColumnGrid, ox: int, oy: int, c):
+    """Per-neighbor-column x/y image shifts (traced scalars)."""
+    if cg.dim == 3:
+        cx = c // cg.ncy
+        cy = c % cg.ncy
+    else:
+        cx = c
+        cy = 0
+    nx = cx + ox
+    ny = cy + oy
+    sx = jnp.where(nx < 0, -cg.lengths[0],
+                   jnp.where(nx >= cg.ncx, cg.lengths[0], 0.0)) \
+        if cg.periodic[0] else jnp.float32(0.0)
+    axis_y_len = cg.lengths[1]
+    py = cg.periodic[1] if cg.dim == 3 else False
+    sy = jnp.where(ny < 0, -axis_y_len,
+                   jnp.where(ny >= cg.ncy, axis_y_len, 0.0)) \
+        if py else jnp.float32(0.0)
+    # shift convention: j positions += shift brings the neighbor's particles
+    # next to this column. A neighbor at nx = -1 lives physically at the far
+    # +x end -> its particles must be shifted by -Lx.
+    return sx, sy
+
+
+def _onehot(t, ntypes1):
+    """(n,) float type ids -> (n, ntypes1) one-hot (types are small ints)."""
+    k = jax.lax.broadcasted_iota(jnp.int32, (t.shape[0], ntypes1), 1
+                                 ).astype(jnp.float32)
+    return (t[:, None] == k).astype(jnp.float32)
+
+
+def _onehot_t(t, ntypes1):
+    """(n,) float type ids -> (ntypes1, n) TRANSPOSED one-hot (built directly
+    — a (n,1)->(1,n) transpose is a lane/sublane swap TPUs hate)."""
+    k = jax.lax.broadcasted_iota(jnp.int32, (ntypes1, t.shape[0]), 0
+                                 ).astype(jnp.float32)
+    return (t[None, :] == k).astype(jnp.float32)
+
+
+def make_column_kernel(cg: ColumnGrid, spec: PhysicsSpec, ntypes: int,
+                       sweep: str, interpret: bool = False):
+    """Build the pallas_call for one sweep: 'force' | 'rho' | 'cgrad'."""
+    cap = cg.cap
+    ncz = cg.ncz
+    col_cap = cg.col_cap
+    nn = cg.nnbr
+    J = 3 * cap * nn
+    T1 = ntypes + 1
+    offs = _neighbor_offsets(cg)
+    col_axis = cg.col_axis
+    lz = cg.lengths[col_axis]
+    pz = cg.periodic[col_axis]
+    w_fn = kernels.kernel_w(spec.kernel, spec.dim)
+    wfd_fn = kernels.kernel_wfd(spec.kernel, spec.dim)
+
+    n_tables = len(_TABLES_2D) + 2 * len(_TABLES_1D)
+
+    def kernel(tabs_ref, *refs):
+        out_ref = refs[-1]
+        col_refs = refs[:-1]          # nn column blocks, [0]=center? order = offs
+        c = pl.program_id(0)
+
+        center = col_refs[offs.index((0, 0))]
+
+        def per_cell(cz, _):
+            i_tile = center[0, cz]                        # (F, cap)
+
+            # -- gather j bands: 3 z-slices per neighbor column -----------
+            j_parts = []
+            sx_parts = []
+            sy_parts = []
+            sz_parts = []
+            valid_parts = []
+            for k, (ox, oy) in enumerate(offs):
+                sx, sy = _col_shift(cg, ox, oy, c)
+                for dz in (-1, 0, 1):
+                    zz = cz + dz
+                    if pz:
+                        zzm = jax.lax.rem(zz + ncz, ncz)
+                        zvalid = jnp.bool_(True)
+                        sz = jnp.where(
+                            zz < 0, -lz, jnp.where(zz >= ncz, lz, 0.0))
+                    else:
+                        zzm = jnp.clip(zz, 0, ncz - 1)
+                        zvalid = jnp.logical_and(zz >= 0, zz < ncz)
+                        sz = jnp.float32(0.0)
+                    j_parts.append(col_refs[k][0, zzm])
+                    sx_parts.append(jnp.full((1, cap), sx, jnp.float32))
+                    sy_parts.append(jnp.full((1, cap), sy, jnp.float32))
+                    sz_parts.append(jnp.full((1, cap), sz, jnp.float32))
+                    valid_parts.append(
+                        jnp.full((1, cap), zvalid, jnp.bool_))
+            j_tile = jnp.concatenate(j_parts, axis=1)     # (F, J)
+            shx = jnp.concatenate(sx_parts, axis=1)       # (1, J)
+            shy = jnp.concatenate(sy_parts, axis=1)
+            shz = jnp.concatenate(sz_parts, axis=1)
+            jvalid = jnp.concatenate(valid_parts, axis=1)
+
+            # -- unrolled pairwise geometry (cap, J) -----------------------
+            def irow(r):
+                return i_tile[r, :][:, None]              # (cap, 1)
+
+            def jrow(r):
+                return j_tile[r, :][None, :]              # (1, J)
+
+            sh = [shx, shy, shz]
+            if col_axis == 1:  # 2D: the z-slice shift applies to y
+                sh = [shx, shz, shy]
+            dx0 = irow(RX) - (jrow(RX) + sh[0])
+            dx1 = irow(RY) - (jrow(RY) + sh[1])
+            dx2 = irow(RZ) - (jrow(RZ) + sh[2])
+            rsq = dx0 * dx0 + dx1 * dx1 + dx2 * dx2
+
+            type_i = irow(RTYPE)
+            type_j = jrow(RTYPE)
+            alive = (type_i > 0.5) & (type_j > 0.5) & jvalid
+            # self/identical-position exclusion (rhosum adds the analytic
+            # self term; coincident distinct particles are pathological)
+            mask = alive & (rsq > 1e-12)
+
+            # -- one-hot table lookups on the MXU (no integer gathers) ------
+            oh_i = _onehot(i_tile[RTYPE, :], T1)          # (cap, T1)
+            oh_jt = _onehot_t(j_tile[RTYPE, :], T1)       # (T1, J)
+            coefs = {}
+            ti = 0
+            for name in _TABLES_2D:
+                tab = tabs_ref[ti * 8: ti * 8 + T1, :T1]  # static 8-aligned
+                coefs[name] = jnp.dot(
+                    jnp.dot(oh_i, tab, preferred_element_type=jnp.float32),
+                    oh_jt, preferred_element_type=jnp.float32)
+                ti += 1
+            for name in _TABLES_1D:
+                # pack_tables stores the vector both as column 0 (rows 0..T1)
+                # and as row 7 (cols 0..T1), so neither side needs a transpose
+                blk = tabs_ref[ti * 8: ti * 8 + 8, :]
+                vec_col = blk[:T1, 0:1]                   # (T1, 1)
+                vec_row = blk[7:8, :T1]                   # (1, T1)
+                coefs[name + "_i"] = jnp.dot(
+                    oh_i, vec_col,
+                    preferred_element_type=jnp.float32)   # (cap, 1)
+                coefs[name + "_j"] = jnp.dot(
+                    vec_row, oh_jt,
+                    preferred_element_type=jnp.float32)   # (1, J)
+                ti += 1
+
+            r = jnp.sqrt(jnp.maximum(rsq, 1e-30))
+            m_j = jrow(RM)
+
+            if sweep == "rho":
+                cut = coefs["cut_rho"]
+                live = mask & (rsq < cut * cut) & (cut > 0.0)
+                w = w_fn(r, jnp.maximum(cut, 1e-30))
+                contrib = jnp.where(live, m_j * w, 0.0)
+                acc = jnp.sum(contrib, axis=1)            # (cap,)
+                out_ref[0, cz, ORHO] = acc
+                return 0
+
+            if sweep == "cgrad":
+                cut = coefs["cut_tension"]
+                live = mask & (rsq < cut * cut) & (cut > 0.0)
+                wfd = jnp.where(live, wfd_fn(r, jnp.maximum(cut, 1e-30)), 0.0)
+                rho_j = jnp.where(live, jrow(RRHO), 1.0)
+                coef = jnp.where(
+                    live,
+                    coefs["sigma"] * (m_j / rho_j)
+                    * (coefs["color_j"] - coefs["color_i"]) * wfd,
+                    0.0)
+                out_ref[0, cz, OCGX] = jnp.sum(coef * dx0, axis=1)
+                out_ref[0, cz, OCGY] = jnp.sum(coef * dx1, axis=1)
+                out_ref[0, cz, ODE] = jnp.sum(coef * dx2, axis=1)
+                return 0
+
+            # ---- force sweep (mirrors pair_terms.force_pair) -------------
+            f0 = jnp.zeros((cap, J), jnp.float32)
+            f1 = jnp.zeros((cap, J), jnp.float32)
+            f2 = jnp.zeros((cap, J), jnp.float32)
+            drho = jnp.zeros((cap, J), jnp.float32)
+            de = jnp.zeros((cap, J), jnp.float32)
+
+            m_i = irow(RM)
+            dv0 = irow(RVX) - jrow(RVX)
+            dv1 = irow(RVY) - jrow(RVY)
+            dv2 = irow(RVZ) - jrow(RVZ)
+            dvdr = dv0 * dx0 + dv1 * dx1 + dv2 * dx2
+
+            if spec.tait or spec.morris or spec.ideal_gas:
+                cut = coefs["cut"]
+                live = mask & (rsq < cut * cut) & (cut > 0.0)
+                wfd = jnp.where(live, wfd_fn(r, jnp.maximum(cut, 1e-30)), 0.0)
+                rho_i = jnp.where(live, irow(RRHO), 1.0)
+                rho_j = jnp.where(live, jrow(RRHO), 1.0)
+                mi = jnp.where(live, m_i, 1.0)
+                mj = jnp.where(live, m_j, 1.0)
+
+                def eos(rho, e, rmass, rho0, b, gamma):
+                    if spec.ideal_gas and not spec.tait:
+                        p = (gamma - 1.0) * rho * e / rmass
+                    else:
+                        q = rho / rho0
+                        q3 = q * q * q
+                        p = b * (q3 * q3 * q - 1.0)
+                    return p / (rho * rho)
+
+                fi = eos(rho_i, irow(RE), mi, coefs["rho0_i"],
+                         coefs["tait_b_i"], coefs["gas_gamma_i"])
+                fj = eos(rho_j, jrow(RE), mj, coefs["rho0_j"],
+                         coefs["tait_b_j"], coefs["gas_gamma_j"])
+
+                if spec.morris:
+                    fvisc = jnp.where(
+                        live,
+                        mi * mj * 2.0 * coefs["visc"] / (rho_i * rho_j) * wfd,
+                        0.0)
+                    fpair = jnp.where(live, -mi * mj * (fi + fj) * wfd, 0.0)
+                    f0 = f0 + fpair * dx0 + fvisc * dv0
+                    f1 = f1 + fpair * dx1 + fvisc * dv1
+                    f2 = f2 + fpair * dx2 + fvisc * dv2
+                    dvsq = dv0 * dv0 + dv1 * dv1 + dv2 * dv2
+                    de = de + jnp.where(
+                        live, -0.5 * (fpair * dvdr + fvisc * dvsq), 0.0)
+                else:
+                    h_ij = jnp.maximum(cut, 1e-30)
+                    mu = h_ij * dvdr / (rsq + 0.01 * h_ij * h_ij)
+                    ci = coefs["c0_i"]
+                    cj = coefs["c0_j"]
+                    if spec.ideal_gas and not spec.tait:
+                        gi = coefs["gas_gamma_i"]
+                        gj = coefs["gas_gamma_j"]
+                        ci = jnp.sqrt(jnp.maximum(
+                            gi * (gi - 1.0) * irow(RE) / mi, 0.0))
+                        cj = jnp.sqrt(jnp.maximum(
+                            gj * (gj - 1.0) * jrow(RE) / mj, 0.0))
+                    fvisc = jnp.where(
+                        dvdr < 0.0,
+                        -coefs["visc"] * (ci + cj) * mu / (rho_i + rho_j),
+                        0.0)
+                    fpair = jnp.where(
+                        live, -mi * mj * (fi + fj + fvisc) * wfd, 0.0)
+                    f0 = f0 + fpair * dx0
+                    f1 = f1 + fpair * dx1
+                    f2 = f2 + fpair * dx2
+                    de = de + jnp.where(live, -0.5 * fpair * dvdr, 0.0)
+
+                if spec.continuity:
+                    drho = drho + jnp.where(live, m_j * dvdr * wfd, 0.0)
+
+            if spec.heatconduction:
+                cut = coefs["cut_heat"]
+                live = mask & (rsq < cut * cut) & (cut > 0.0)
+                wfd = jnp.where(live, wfd_fn(r, jnp.maximum(cut, 1e-30)), 0.0)
+                rho_i = jnp.where(live, irow(RRHO), 1.0)
+                rho_j = jnp.where(live, jrow(RRHO), 1.0)
+                mi = jnp.where(live, m_i, 1.0)
+                mj = jnp.where(live, m_j, 1.0)
+                coef = (2.0 * mi * mj / (mi + mj)) * \
+                    ((rho_i + rho_j) / (rho_i * rho_j))
+                de = de + jnp.where(
+                    live,
+                    coef * coefs["heat_D"] * (irow(RE) - jrow(RE)) * wfd,
+                    0.0)
+
+            if spec.surface_tension:
+                cut = coefs["cut_tension"]
+                live = mask & (rsq < cut * cut) & (cut > 0.0)
+                wfd = jnp.where(live, wfd_fn(r, jnp.maximum(cut, 1e-30)), 0.0)
+                rho_i = jnp.where(live, irow(RRHO), 1.0)
+                rho_j = jnp.where(live, jrow(RRHO), 1.0)
+                mi = jnp.where(live, m_i, 1.0)
+                mj = jnp.where(live, m_j, 1.0)
+                inv_ri2 = 1.0 / (rho_i * rho_i)
+                inv_rj2 = 1.0 / (rho_j * rho_j)
+                coef = jnp.where(live, mi * mj * wfd, 0.0)
+
+                def stress_dot_dx(c0, c1, c2, inv_r2):
+                    cg2 = c0 * c0 + c1 * c1 + c2 * c2
+                    norm = jnp.sqrt(jnp.maximum(cg2, 1e-12))
+                    cdotdx = c0 * dx0 + c1 * dx1 + c2 * dx2
+                    s0 = (cg2 * dx0 / spec.dim - cdotdx * c0) / norm
+                    s1 = (cg2 * dx1 / spec.dim - cdotdx * c1) / norm
+                    s2 = (cg2 * dx2 / spec.dim - cdotdx * c2) / norm
+                    return s0 * inv_r2, s1 * inv_r2, s2 * inv_r2
+
+                si = stress_dot_dx(irow(RCGX), irow(RCGY), irow(RCGZ), inv_ri2)
+                sj = stress_dot_dx(jrow(RCGX), jrow(RCGY), jrow(RCGZ), inv_rj2)
+                f0 = f0 + coef * (si[0] + sj[0])
+                f1 = f1 + coef * (si[1] + sj[1])
+                f2 = f2 + coef * (si[2] + sj[2])
+
+            out_ref[0, cz, OFX] = jnp.sum(f0, axis=1)
+            out_ref[0, cz, OFY] = jnp.sum(f1, axis=1)
+            out_ref[0, cz, OFZ] = jnp.sum(f2, axis=1)
+            out_ref[0, cz, ODRHO] = jnp.sum(drho, axis=1)
+            out_ref[0, cz, ODE] = jnp.sum(de, axis=1)
+            return 0
+
+        jax.lax.fori_loop(0, ncz, per_cell, 0)
+
+    # tables input: full small array in VMEM
+    in_specs = [pl.BlockSpec(memory_space=pltpu.VMEM)]
+    for ox, oy in offs:
+        in_specs.append(
+            pl.BlockSpec((1, ncz, F_ROWS, cap),
+                         index_map=_make_block_imap(cg, ox, oy),
+                         memory_space=pltpu.VMEM))
+
+    out_spec = pl.BlockSpec((1, ncz, 8, cap),
+                            index_map=lambda c: (c, 0, 0, 0),
+                            memory_space=pltpu.VMEM)
+
+    def call(tabs, dense):
+        args = [tabs] + [dense] * len(offs)
+        return pl.pallas_call(
+            kernel,
+            grid=(cg.ncols,),
+            in_specs=in_specs,
+            out_specs=out_spec,
+            out_shape=jax.ShapeDtypeStruct((cg.ncols, cg.ncz, 8, cap),
+                                           jnp.float32),
+            interpret=interpret,
+        )(*args)
+
+    return call
+
+
+def _make_block_imap(cg: ColumnGrid, ox: int, oy: int):
+    base = _col_index_map(cg, ox, oy)
+
+    def imap(c):
+        return base(c)
+
+    return imap
+
+
+_TABLES_2D = ("cut", "visc", "heat_D", "cut_heat", "sigma", "cut_tension",
+              "cut_rho")
+_TABLES_1D = ("rho0", "tait_b", "c0", "gas_gamma", "color")
+
+
+def pack_tables(tables: PairTables) -> jnp.ndarray:
+    """Stack all coefficient tables into ((n_tabs)*8, 128) f32 — each table
+    in an 8-row block (static sublane-aligned slicing in the kernel).
+    1D tables are stored twice: as column 0 (for the i side) and as row 7
+    (for the j side) so the kernel never transposes. Requires ntypes <= 6."""
+    t1 = tables.ntypes + 1
+    if t1 > 7:
+        raise ValueError("pallas backend supports at most 6 particle types")
+    blocks = []
+    for name in _TABLES_2D:
+        mat = np.zeros((8, 128), np.float32)
+        mat[:t1, :t1] = np.asarray(getattr(tables, name), np.float32)
+        blocks.append(mat)
+    for name in _TABLES_1D:
+        vec = np.asarray(getattr(tables, name), np.float32)
+        mat = np.zeros((8, 128), np.float32)
+        mat[:t1, 0] = vec
+        mat[7, :t1] = vec
+        blocks.append(mat)
+    return jnp.asarray(np.concatenate(blocks, axis=0))
+
+
+class PallasBackend:
+    """Drop-in backend using the fused Pallas kernels for all three sweeps;
+    grid lifecycle (init_aux / prepare) reuses CellGridBackend's logic via
+    composition. Falls back to interpret mode off-TPU (tests)."""
+
+    def __init__(self, geom: gridlib.GridGeometry, box: Box, ntypes: int,
+                 rebuild_every: int = 0, interpret: bool | None = None):
+        from tpusph.ops.cellgrid import CellGridBackend
+        self.geom = geom
+        self._cells = CellGridBackend(geom, rebuild_every=rebuild_every)
+        self.colgrid = make_column_grid(geom, box)
+        if interpret is None:
+            interpret = jax.default_backend() != "tpu"
+        self.interpret = interpret
+        self.ntypes = ntypes
+        self._calls = {}
+
+    # grid lifecycle delegates
+    def init_aux(self, state, box):
+        return self._cells.init_aux(state, box)
+
+    def prepare(self, state, aux, istep, box):
+        return self._cells.prepare(state, aux, istep, box)
+
+    def _call(self, spec: PhysicsSpec, sweep: str):
+        key = (spec, sweep)
+        if key not in self._calls:
+            self._calls[key] = make_column_kernel(
+                self.colgrid, spec, self.ntypes, sweep,
+                interpret=self.interpret)
+        return self._calls[key]
+
+    def _sweep(self, state, tables, spec, box, aux, sweep, cgrad=None,
+               rows=(OFX,)):
+        # append a sentinel (all-dead) column for invalid edge neighbors
+        dense, flat_pos, ok = pack_dense(state, aux, self.colgrid, cgrad=cgrad)
+        sentinel = jnp.zeros((1,) + dense.shape[1:], jnp.float32)
+        dense = jnp.concatenate([dense, sentinel], axis=0)
+        tabs = pack_tables(tables)
+        out = self._call(spec, sweep)(tabs, dense)
+        return unpack_dense(out, flat_pos, ok, rows)
+
+    def rho_summation(self, state, tables, spec, box, aux, **_):
+        (rho,) = self._sweep(state, tables, spec, box, aux, "rho",
+                             rows=(ORHO,))
+        self_cut = tables.cut_rho[state.type, state.type]
+        w0 = kernels.kernel_w(spec.kernel, spec.dim)(
+            jnp.zeros_like(self_cut), jnp.maximum(self_cut, 1e-30))
+        rho = rho + jnp.where(state.alive & (self_cut > 0.0),
+                              state.rmass * w0, 0.0)
+        return jnp.where(state.alive, rho, state.rho)
+
+    def color_gradient(self, state, tables, spec, box, aux, **_):
+        cgx, cgy, cgz = self._sweep(state, tables, spec, box, aux, "cgrad",
+                                    rows=(OCGX, OCGY, ODE))
+        cg = jnp.stack([cgx, cgy, cgz], axis=1)
+        return jnp.where(state.alive[:, None], cg, 0.0)
+
+    def force(self, state, tables, spec, box, aux, cg=None, **_):
+        if spec.surface_tension and cg is None:
+            cg = self.color_gradient(state, tables, spec, box, aux)
+        fx, fy, fz, drho, de = self._sweep(
+            state, tables, spec, box, aux, "force", cgrad=cg,
+            rows=(OFX, OFY, OFZ, ODRHO, ODE))
+        f = jnp.stack([fx, fy, fz], axis=1)
+        alive = state.alive
+        return (jnp.where(alive[:, None], f, 0.0),
+                jnp.where(alive, drho, 0.0),
+                jnp.where(alive, de, 0.0))
+
+    def vapor_neighbor(self, state, box, vtype, cut):
+        from tpusph.ops.phase_change import _vapor_neighbor_dense
+        return _vapor_neighbor_dense(state, box, vtype, cut)
