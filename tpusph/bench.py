@@ -100,7 +100,7 @@ def run_bench(n_particles: int = 1_000_000, n_steps: int = 50, dim: int = 3,
                   f"backend={backend})",
         "value": round(psps, 1),
         "unit": "particle-steps/s",
-        "vs_baseline": round(psps / BASELINE_NODE_PSPS, 4),
+        "vs_baseline": round(psps / BASELINE_NODE_PSPS, 6),
         "wall_s": round(dt_wall, 3),
         "steps": n_steps,
         "particles": int(n),

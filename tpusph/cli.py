@@ -31,6 +31,8 @@ def main(argv=None):
     run_p.add_argument("--backend", default=None,
                        choices=["auto", "dense", "cellgrid", "pallas"],
                        help="force a compute backend")
+    run_p.add_argument("--mesh", type=int, default=0,
+                       help="decompose over N devices (shard_map bricks)")
 
     bench_p = sub.add_parser("bench", help="run the throughput benchmark")
     bench_p.add_argument("--particles", type=int, default=1_000_000)
@@ -46,6 +48,8 @@ def main(argv=None):
         sim = Simulation(log=args.log, screen=args.screen != "none")
         if args.backend:
             sim.backend_name = args.backend
+        if args.mesh:
+            sim.set_mesh(args.mesh)
         interp = Interpreter(sim=sim,
                              variables={k: v for k, v in args.var})
         text = sys.stdin.read() if args.script == "-" else \

@@ -204,9 +204,10 @@ class DistBackend:
         return self.inner.force(state, tables, spec, self.box_local,
                                 aux=aux.grid, cg=cg)
 
-    def vapor_neighbor(self, state, box, vtype, cut):
-        from tpusph.ops.phase_change import _vapor_neighbor_dense
-        return _vapor_neighbor_dense(state, self.box_local, vtype, cut)
+    def vapor_neighbor(self, state, box, vtype, cut, aux):
+        # aux here is the GridData (the hook passes DistAux.grid)
+        return self.inner.vapor_neighbor(state, self.box_local, vtype, cut,
+                                         aux)
 
     # -- comm stack ----------------------------------------------------------
 

@@ -176,6 +176,33 @@ class CellGridBackend:
         (cg,), _ = self._sweep(state, aux, box, lambda *w: (cell_fn(*w),), 0.0)
         return jnp.where(state.alive[:, None], cg, 0.0)
 
+    def vapor_neighbor(self, state, box: Box, vtype: int, cut: float,
+                       aux: gridlib.GridData):
+        """(count, nearest_row, nearest_rsq) of type-`vtype` neighbors within
+        `cut` — the phase-change fix's interface query (SURVEY §3.5), as a
+        cell-window sweep instead of the O(N^2) fallback."""
+        n = state.capacity
+
+        def cell_fn(i_rows, i_valid, j_rows, j_valid, j_off, j_imaged):
+            xi = state.x[i_rows]
+            xj = state.x[j_rows] + j_off
+            dx = xi[:, None, :] - xj[None, :, :]
+            rsq = jnp.sum(dx * dx, axis=-1)
+            is_vap = (state.type[j_rows] == vtype)[None, :]
+            ok = (i_valid[:, None] & j_valid[None, :]
+                  & ((i_rows[:, None] != j_rows[None, :]) | j_imaged[None, :])
+                  & is_vap & (rsq < cut * cut))
+            count = jnp.sum(ok, axis=1).astype(jnp.float32)
+            big = jnp.where(ok, rsq, jnp.inf)
+            k = jnp.argmin(big, axis=1)
+            nearest = j_rows[k].astype(jnp.float32)
+            return count, nearest, jnp.min(big, axis=1)
+
+        (count, nearest, dmin), ok = self._sweep(state, aux, box, cell_fn, 0.0)
+        return (count.astype(jnp.int32),
+                nearest.astype(jnp.int32),
+                jnp.where(count > 0, dmin, jnp.inf))
+
     def force(self, state, tables: PairTables, spec: PhysicsSpec, box: Box,
               aux: gridlib.GridData, cg: Optional[jax.Array] = None, **_):
         if spec.surface_tension and cg is None:

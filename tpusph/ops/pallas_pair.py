@@ -603,6 +603,5 @@ class PallasBackend:
                 jnp.where(alive, drho, 0.0),
                 jnp.where(alive, de, 0.0))
 
-    def vapor_neighbor(self, state, box, vtype, cut):
-        from tpusph.ops.phase_change import _vapor_neighbor_dense
-        return _vapor_neighbor_dense(state, box, vtype, cut)
+    def vapor_neighbor(self, state, box, vtype, cut, aux):
+        return self._cells.vapor_neighbor(state, box, vtype, cut, aux)

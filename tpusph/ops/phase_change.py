@@ -119,7 +119,7 @@ def make_end_of_step_hook(config: PhaseChangeConfig, spec: PhysicsSpec):
              backend, box: Box):
         def apply(state):
             return _apply_phase_change(state, tables, istep, config, spec,
-                                       backend, box)
+                                       backend, box, aux)
 
         fire = (jnp.asarray(istep) % config.every) == 0
         new_state, changed = jax.lax.cond(
@@ -137,7 +137,7 @@ def make_end_of_step_hook(config: PhaseChangeConfig, spec: PhysicsSpec):
 
 def _apply_phase_change(state: ParticleState, tables: PairTables, istep,
                         config: PhaseChangeConfig, spec: PhysicsSpec,
-                        backend, box: Box):
+                        backend, box: Box, aux=None):
     n = state.capacity
     cut = config.cutoff
     if cut <= 0.0:
@@ -147,9 +147,10 @@ def _apply_phase_change(state: ParticleState, tables: PairTables, istep,
     liquid = state.alive & state.owned & (state.type == config.liquid_type)
 
     if config.require_interface or config.mode == "grow":
-        if hasattr(backend, "vapor_neighbor"):
+        if aux is not None and hasattr(backend, "vapor_neighbor"):
+            # cell-window sweep (O(N * window)); aux is the GridData
             vcount, vnearest, _ = backend.vapor_neighbor(
-                state, box, config.vapor_type, cut)
+                state, box, config.vapor_type, cut, aux)
         else:
             vcount, vnearest, _ = _vapor_neighbor_dense(
                 state, box, config.vapor_type, cut)

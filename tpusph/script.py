@@ -468,7 +468,13 @@ class Interpreter:
     def cmd_thermo_style(self, a):
         if a[0] != "custom":
             raise ScriptError("only 'thermo_style custom ...' supported")
-        self.sim.thermo_style(list(a[1:]))
+        cols = list(a[1:])
+        for c in cols:
+            if c.startswith("v_"):
+                name = c[2:]
+                self.sim.add_thermo_column(
+                    c, lambda sim, sc, istep, _n=name: self.var_value(_n))
+        self.sim.thermo_style(cols)
 
     def cmd_thermo_modify(self, a):
         pass  # norm/flush knobs: accepted
@@ -477,7 +483,12 @@ class Interpreter:
         name, kind = a[0], a[1]
         if kind == "equal":
             self.vars[name] = EqualVariable(" ".join(a[2:]))
-        elif kind in ("string", "index"):
+        elif kind == "index":
+            # LAMMPS: index vars do NOT overwrite an existing definition —
+            # that's how `-var name value` overrides a script default
+            if name not in self.vars:
+                self.vars[name] = a[2]
+        elif kind == "string":
             self.vars[name] = a[2]
         elif kind == "delete":
             self.vars.pop(name, None)
@@ -498,7 +509,10 @@ class Interpreter:
         self.sim.dumps = [d for d in self.sim.dumps if d.id != a[0]]
 
     def cmd_run(self, a):
-        self.sim.run(int(a[0]))
+        n = int(a[0])
+        if len(a) >= 2 and a[1] == "upto":
+            n = max(n - self.sim.step_count, 0)
+        self.sim.run(n)
 
     def cmd_reset_timestep(self, a):
         self.sim.step_count = int(a[0])
