@@ -15,7 +15,7 @@ import sys
 def main():
     n = int(os.environ.get("TPUSPH_BENCH_PARTICLES", 1_000_000))
     steps = int(os.environ.get("TPUSPH_BENCH_STEPS", 50))
-    backend = os.environ.get("TPUSPH_BENCH_BACKEND", "cellgrid")
+    backend = os.environ.get("TPUSPH_BENCH_BACKEND", "auto")
 
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     from tpusph.bench import run_bench

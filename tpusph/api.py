@@ -245,9 +245,16 @@ class Simulation:
         from tpusph.ops import dense
         name = self.backend_name
         if name == "auto":
-            # dense is faster below ~2k particles; grid above
+            # dense below ~2k particles; above: the fused Pallas kernel on
+            # TPU (~500x the XLA cell-grid sweeps there), XLA cell grid
+            # elsewhere
             n = self.natoms
-            name = "dense" if n <= 2048 else "cellgrid"
+            if n <= 2048:
+                name = "dense"
+            elif jax.default_backend() == "tpu" and self.tables.ntypes <= 6:
+                name = "pallas"
+            else:
+                name = "cellgrid"
         if name == "dense":
             return dense
         if name in ("cellgrid", "pallas"):
@@ -385,6 +392,7 @@ class Simulation:
             self.aux = runner.aux
 
         def callback(state, istep):
+            self._check_overflow()
             if tw is not None:
                 tw.write_line(self._thermo_values(state, istep))
             for d in self.dumps:
@@ -410,6 +418,20 @@ class Simulation:
         self.time_acc += nsteps * self.dt
         self.step_count += nsteps
         return self
+
+    def _check_overflow(self):
+        """Fixed-capacity overflow guard (the 'dangerous builds' analog,
+        SURVEY §5.2): cell-cap or halo-buffer overflow means silently
+        dropped interactions — abort with a remedy."""
+        aux = self.aux
+        ov = 0
+        if aux is not None and hasattr(aux, "overflow"):
+            ov = int(np.sum(np.asarray(jax.device_get(aux.overflow))))
+        if ov > 0:
+            raise RuntimeError(
+                f"cell/halo capacity overflow ({ov} particles dropped from "
+                "pair windows). Raise Simulation.cell_cap (cell capacity) "
+                "or the dist ghost/migrate caps and rerun.")
 
     # ------------------------------------------------------------- accessors
 

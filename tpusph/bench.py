@@ -21,7 +21,7 @@ BASELINE_NODE_PSPS = 5.0e7  # estimated reference single-node particle-steps/s
 
 
 def build_bench_sim(n_particles: int, dim: int = 3, multiphase: bool = True,
-                    backend: str = "cellgrid"):
+                    backend: str = "auto"):
     """A periodic 3D two-phase block: a vapor sphere inside liquid."""
     import jax
     from tpusph.api import Simulation
@@ -75,7 +75,7 @@ def build_bench_sim(n_particles: int, dim: int = 3, multiphase: bool = True,
 
 
 def run_bench(n_particles: int = 1_000_000, n_steps: int = 50, dim: int = 3,
-              multiphase: bool = True, backend: str = "cellgrid",
+              multiphase: bool = True, backend: str = "auto",
               warmup_steps: int = 5) -> dict:
     import jax
 

@@ -66,7 +66,10 @@ def make_geometry(box: Box, cutoff: float, dim: int, skin: float = 0.0,
         size[2] = max(length[2], 1.0)
     if cap is None:
         if avg_per_cell is not None:
-            cap = int(math.ceil(avg_per_cell * 2.5 / 8.0) * 8)
+            # 1.8x headroom over the mean occupancy; overflow is counted on
+            # device and surfaced to the host (Simulation raises), so a
+            # too-tight cap fails loudly rather than silently dropping pairs
+            cap = int(math.ceil(avg_per_cell * 1.8 / 8.0) * 8)
         else:
             cap = 64 if dim == 3 else 32
     return GridGeometry(

@@ -214,144 +214,99 @@ def _onehot_t(t, ntypes1):
 
 def make_column_kernel(cg: ColumnGrid, spec: PhysicsSpec, ntypes: int,
                        sweep: str, interpret: bool = False):
-    """Build the pallas_call for one sweep: 'force' | 'rho' | 'cgrad'."""
+    """Build the pallas_call for one sweep: 'force' | 'rho' | 'cgrad'.
+
+    The kernel accumulates per-neighbor-slice (cap, cap) partial sums —
+    no lane-dim concatenation (Mosaic cannot register-cast non-128-aligned
+    lane concats), scalar image shifts, small VMEM footprint.
+    """
     cap = cg.cap
     ncz = cg.ncz
-    col_cap = cg.col_cap
-    nn = cg.nnbr
-    J = 3 * cap * nn
     T1 = ntypes + 1
     offs = _neighbor_offsets(cg)
-    col_axis = cg.col_axis
-    lz = cg.lengths[col_axis]
-    pz = cg.periodic[col_axis]
+    lz = cg.lengths[cg.col_axis]
+    pz = cg.periodic[cg.col_axis]
+    dim3 = cg.dim == 3
     w_fn = kernels.kernel_w(spec.kernel, spec.dim)
     wfd_fn = kernels.kernel_wfd(spec.kernel, spec.dim)
 
-    n_tables = len(_TABLES_2D) + 2 * len(_TABLES_1D)
+    n_out = {"rho": 1, "cgrad": 3, "force": 5}[sweep]
 
     def kernel(tabs_ref, *refs):
         out_ref = refs[-1]
-        col_refs = refs[:-1]          # nn column blocks, [0]=center? order = offs
+        col_refs = refs[:-1]
         c = pl.program_id(0)
-
         center = col_refs[offs.index((0, 0))]
 
-        def per_cell(cz, _):
-            i_tile = center[0, cz]                        # (F, cap)
+        # static table blocks (hoisted out of the cell loop by the compiler)
+        tabs2d = {}
+        ti = 0
+        for name in _TABLES_2D:
+            tabs2d[name] = tabs_ref[ti * 8: ti * 8 + T1, :T1]
+            ti += 1
+        vec_cols = {}
+        vec_rows = {}
+        for name in _TABLES_1D:
+            blk = tabs_ref[ti * 8: ti * 8 + 8, :]
+            vec_cols[name] = blk[:T1, 0:1]     # (T1, 1)
+            vec_rows[name] = blk[7:8, :T1]     # (1, T1)
+            ti += 1
 
-            # -- gather j bands: 3 z-slices per neighbor column -----------
-            j_parts = []
-            sx_parts = []
-            sy_parts = []
-            sz_parts = []
-            valid_parts = []
-            for k, (ox, oy) in enumerate(offs):
-                sx, sy = _col_shift(cg, ox, oy, c)
-                for dz in (-1, 0, 1):
-                    zz = cz + dz
-                    if pz:
-                        zzm = jax.lax.rem(zz + ncz, ncz)
-                        zvalid = jnp.bool_(True)
-                        sz = jnp.where(
-                            zz < 0, -lz, jnp.where(zz >= ncz, lz, 0.0))
-                    else:
-                        zzm = jnp.clip(zz, 0, ncz - 1)
-                        zvalid = jnp.logical_and(zz >= 0, zz < ncz)
-                        sz = jnp.float32(0.0)
-                    j_parts.append(col_refs[k][0, zzm])
-                    sx_parts.append(jnp.full((1, cap), sx, jnp.float32))
-                    sy_parts.append(jnp.full((1, cap), sy, jnp.float32))
-                    sz_parts.append(jnp.full((1, cap), sz, jnp.float32))
-                    valid_parts.append(
-                        jnp.full((1, cap), zvalid, jnp.bool_))
-            j_tile = jnp.concatenate(j_parts, axis=1)     # (F, J)
-            shx = jnp.concatenate(sx_parts, axis=1)       # (1, J)
-            shy = jnp.concatenate(sy_parts, axis=1)
-            shz = jnp.concatenate(sz_parts, axis=1)
-            jvalid = jnp.concatenate(valid_parts, axis=1)
+        def part_sums(i_tile, oh_i, ci_1d, j_tile, shift, zvalid):
+            """Physics of one (cap_i x cap_j) neighbor slice; returns a
+            tuple of n_out (cap,) partial sums. Mirrors
+            ops/pair_terms.force_pair term by term."""
 
-            # -- unrolled pairwise geometry (cap, J) -----------------------
             def irow(r):
                 return i_tile[r, :][:, None]              # (cap, 1)
 
             def jrow(r):
-                return j_tile[r, :][None, :]              # (1, J)
+                return j_tile[r, :][None, :]              # (1, cap)
 
-            sh = [shx, shy, shz]
-            if col_axis == 1:  # 2D: the z-slice shift applies to y
-                sh = [shx, shz, shy]
-            dx0 = irow(RX) - (jrow(RX) + sh[0])
-            dx1 = irow(RY) - (jrow(RY) + sh[1])
-            dx2 = irow(RZ) - (jrow(RZ) + sh[2])
-            rsq = dx0 * dx0 + dx1 * dx1 + dx2 * dx2
+            oh_jt = _onehot_t(j_tile[RTYPE, :], T1)       # (T1, cap)
 
-            type_i = irow(RTYPE)
-            type_j = jrow(RTYPE)
-            alive = (type_i > 0.5) & (type_j > 0.5) & jvalid
-            # self/identical-position exclusion (rhosum adds the analytic
-            # self term; coincident distinct particles are pathological)
-            mask = alive & (rsq > 1e-12)
-
-            # -- one-hot table lookups on the MXU (no integer gathers) ------
-            oh_i = _onehot(i_tile[RTYPE, :], T1)          # (cap, T1)
-            oh_jt = _onehot_t(j_tile[RTYPE, :], T1)       # (T1, J)
-            coefs = {}
-            ti = 0
-            for name in _TABLES_2D:
-                tab = tabs_ref[ti * 8: ti * 8 + T1, :T1]  # static 8-aligned
-                coefs[name] = jnp.dot(
-                    jnp.dot(oh_i, tab, preferred_element_type=jnp.float32),
+            def c2d(name):
+                return jnp.dot(
+                    jnp.dot(oh_i, tabs2d[name],
+                            preferred_element_type=jnp.float32),
                     oh_jt, preferred_element_type=jnp.float32)
-                ti += 1
-            for name in _TABLES_1D:
-                # pack_tables stores the vector both as column 0 (rows 0..T1)
-                # and as row 7 (cols 0..T1), so neither side needs a transpose
-                blk = tabs_ref[ti * 8: ti * 8 + 8, :]
-                vec_col = blk[:T1, 0:1]                   # (T1, 1)
-                vec_row = blk[7:8, :T1]                   # (1, T1)
-                coefs[name + "_i"] = jnp.dot(
-                    oh_i, vec_col,
-                    preferred_element_type=jnp.float32)   # (cap, 1)
-                coefs[name + "_j"] = jnp.dot(
-                    vec_row, oh_jt,
-                    preferred_element_type=jnp.float32)   # (1, J)
-                ti += 1
 
+            def cj_1d(name):
+                return jnp.dot(vec_rows[name], oh_jt,
+                               preferred_element_type=jnp.float32)  # (1, cap)
+
+            sx, sy, sz = shift
+            dx0 = irow(RX) - (jrow(RX) + sx)
+            dx1 = irow(RY) - (jrow(RY) + sy)
+            dx2 = irow(RZ) - (jrow(RZ) + sz)
+            rsq = dx0 * dx0 + dx1 * dx1 + dx2 * dx2
+            mask = ((irow(RTYPE) > 0.5) & (jrow(RTYPE) > 0.5)
+                    & (rsq > 1e-12) & zvalid)
             r = jnp.sqrt(jnp.maximum(rsq, 1e-30))
             m_j = jrow(RM)
 
             if sweep == "rho":
-                cut = coefs["cut_rho"]
+                cut = c2d("cut_rho")
                 live = mask & (rsq < cut * cut) & (cut > 0.0)
                 w = w_fn(r, jnp.maximum(cut, 1e-30))
-                contrib = jnp.where(live, m_j * w, 0.0)
-                acc = jnp.sum(contrib, axis=1)            # (cap,)
-                out_ref[0, cz, ORHO] = acc
-                return 0
+                return (jnp.sum(jnp.where(live, m_j * w, 0.0), axis=1),)
 
             if sweep == "cgrad":
-                cut = coefs["cut_tension"]
+                cut = c2d("cut_tension")
                 live = mask & (rsq < cut * cut) & (cut > 0.0)
                 wfd = jnp.where(live, wfd_fn(r, jnp.maximum(cut, 1e-30)), 0.0)
                 rho_j = jnp.where(live, jrow(RRHO), 1.0)
                 coef = jnp.where(
                     live,
-                    coefs["sigma"] * (m_j / rho_j)
-                    * (coefs["color_j"] - coefs["color_i"]) * wfd,
+                    c2d("sigma") * (m_j / rho_j)
+                    * (cj_1d("color") - ci_1d["color"]) * wfd,
                     0.0)
-                out_ref[0, cz, OCGX] = jnp.sum(coef * dx0, axis=1)
-                out_ref[0, cz, OCGY] = jnp.sum(coef * dx1, axis=1)
-                out_ref[0, cz, ODE] = jnp.sum(coef * dx2, axis=1)
-                return 0
+                return (jnp.sum(coef * dx0, axis=1),
+                        jnp.sum(coef * dx1, axis=1),
+                        jnp.sum(coef * dx2, axis=1))
 
-            # ---- force sweep (mirrors pair_terms.force_pair) -------------
-            f0 = jnp.zeros((cap, J), jnp.float32)
-            f1 = jnp.zeros((cap, J), jnp.float32)
-            f2 = jnp.zeros((cap, J), jnp.float32)
-            drho = jnp.zeros((cap, J), jnp.float32)
-            de = jnp.zeros((cap, J), jnp.float32)
-
+            # ---- force sweep ----
+            f0 = f1 = f2 = drho = de = jnp.zeros((cap, cap), jnp.float32)
             m_i = irow(RM)
             dv0 = irow(RVX) - jrow(RVX)
             dv1 = irow(RVY) - jrow(RVY)
@@ -359,7 +314,7 @@ def make_column_kernel(cg: ColumnGrid, spec: PhysicsSpec, ntypes: int,
             dvdr = dv0 * dx0 + dv1 * dx1 + dv2 * dx2
 
             if spec.tait or spec.morris or spec.ideal_gas:
-                cut = coefs["cut"]
+                cut = c2d("cut")
                 live = mask & (rsq < cut * cut) & (cut > 0.0)
                 wfd = jnp.where(live, wfd_fn(r, jnp.maximum(cut, 1e-30)), 0.0)
                 rho_i = jnp.where(live, irow(RRHO), 1.0)
@@ -376,15 +331,15 @@ def make_column_kernel(cg: ColumnGrid, spec: PhysicsSpec, ntypes: int,
                         p = b * (q3 * q3 * q - 1.0)
                     return p / (rho * rho)
 
-                fi = eos(rho_i, irow(RE), mi, coefs["rho0_i"],
-                         coefs["tait_b_i"], coefs["gas_gamma_i"])
-                fj = eos(rho_j, jrow(RE), mj, coefs["rho0_j"],
-                         coefs["tait_b_j"], coefs["gas_gamma_j"])
+                fi = eos(rho_i, irow(RE), mi, ci_1d["rho0"],
+                         ci_1d["tait_b"], ci_1d["gas_gamma"])
+                fj = eos(rho_j, jrow(RE), mj, cj_1d("rho0"),
+                         cj_1d("tait_b"), cj_1d("gas_gamma"))
 
                 if spec.morris:
                     fvisc = jnp.where(
                         live,
-                        mi * mj * 2.0 * coefs["visc"] / (rho_i * rho_j) * wfd,
+                        mi * mj * 2.0 * c2d("visc") / (rho_i * rho_j) * wfd,
                         0.0)
                     fpair = jnp.where(live, -mi * mj * (fi + fj) * wfd, 0.0)
                     f0 = f0 + fpair * dx0 + fvisc * dv0
@@ -396,18 +351,18 @@ def make_column_kernel(cg: ColumnGrid, spec: PhysicsSpec, ntypes: int,
                 else:
                     h_ij = jnp.maximum(cut, 1e-30)
                     mu = h_ij * dvdr / (rsq + 0.01 * h_ij * h_ij)
-                    ci = coefs["c0_i"]
-                    cj = coefs["c0_j"]
+                    ci = ci_1d["c0"]
+                    cj = cj_1d("c0")
                     if spec.ideal_gas and not spec.tait:
-                        gi = coefs["gas_gamma_i"]
-                        gj = coefs["gas_gamma_j"]
+                        gi = ci_1d["gas_gamma"]
+                        gj = cj_1d("gas_gamma")
                         ci = jnp.sqrt(jnp.maximum(
                             gi * (gi - 1.0) * irow(RE) / mi, 0.0))
                         cj = jnp.sqrt(jnp.maximum(
                             gj * (gj - 1.0) * jrow(RE) / mj, 0.0))
                     fvisc = jnp.where(
                         dvdr < 0.0,
-                        -coefs["visc"] * (ci + cj) * mu / (rho_i + rho_j),
+                        -c2d("visc") * (ci + cj) * mu / (rho_i + rho_j),
                         0.0)
                     fpair = jnp.where(
                         live, -mi * mj * (fi + fj + fvisc) * wfd, 0.0)
@@ -420,7 +375,7 @@ def make_column_kernel(cg: ColumnGrid, spec: PhysicsSpec, ntypes: int,
                     drho = drho + jnp.where(live, m_j * dvdr * wfd, 0.0)
 
             if spec.heatconduction:
-                cut = coefs["cut_heat"]
+                cut = c2d("cut_heat")
                 live = mask & (rsq < cut * cut) & (cut > 0.0)
                 wfd = jnp.where(live, wfd_fn(r, jnp.maximum(cut, 1e-30)), 0.0)
                 rho_i = jnp.where(live, irow(RRHO), 1.0)
@@ -431,19 +386,17 @@ def make_column_kernel(cg: ColumnGrid, spec: PhysicsSpec, ntypes: int,
                     ((rho_i + rho_j) / (rho_i * rho_j))
                 de = de + jnp.where(
                     live,
-                    coef * coefs["heat_D"] * (irow(RE) - jrow(RE)) * wfd,
+                    coef * c2d("heat_D") * (irow(RE) - jrow(RE)) * wfd,
                     0.0)
 
             if spec.surface_tension:
-                cut = coefs["cut_tension"]
+                cut = c2d("cut_tension")
                 live = mask & (rsq < cut * cut) & (cut > 0.0)
                 wfd = jnp.where(live, wfd_fn(r, jnp.maximum(cut, 1e-30)), 0.0)
                 rho_i = jnp.where(live, irow(RRHO), 1.0)
                 rho_j = jnp.where(live, jrow(RRHO), 1.0)
                 mi = jnp.where(live, m_i, 1.0)
                 mj = jnp.where(live, m_j, 1.0)
-                inv_ri2 = 1.0 / (rho_i * rho_i)
-                inv_rj2 = 1.0 / (rho_j * rho_j)
                 coef = jnp.where(live, mi * mj * wfd, 0.0)
 
                 def stress_dot_dx(c0, c1, c2, inv_r2):
@@ -455,17 +408,50 @@ def make_column_kernel(cg: ColumnGrid, spec: PhysicsSpec, ntypes: int,
                     s2 = (cg2 * dx2 / spec.dim - cdotdx * c2) / norm
                     return s0 * inv_r2, s1 * inv_r2, s2 * inv_r2
 
-                si = stress_dot_dx(irow(RCGX), irow(RCGY), irow(RCGZ), inv_ri2)
-                sj = stress_dot_dx(jrow(RCGX), jrow(RCGY), jrow(RCGZ), inv_rj2)
+                si = stress_dot_dx(irow(RCGX), irow(RCGY), irow(RCGZ),
+                                   1.0 / (rho_i * rho_i))
+                sj = stress_dot_dx(jrow(RCGX), jrow(RCGY), jrow(RCGZ),
+                                   1.0 / (rho_j * rho_j))
                 f0 = f0 + coef * (si[0] + sj[0])
                 f1 = f1 + coef * (si[1] + sj[1])
                 f2 = f2 + coef * (si[2] + sj[2])
 
-            out_ref[0, cz, OFX] = jnp.sum(f0, axis=1)
-            out_ref[0, cz, OFY] = jnp.sum(f1, axis=1)
-            out_ref[0, cz, OFZ] = jnp.sum(f2, axis=1)
-            out_ref[0, cz, ODRHO] = jnp.sum(drho, axis=1)
-            out_ref[0, cz, ODE] = jnp.sum(de, axis=1)
+            return (jnp.sum(f0, axis=1), jnp.sum(f1, axis=1),
+                    jnp.sum(f2, axis=1), jnp.sum(drho, axis=1),
+                    jnp.sum(de, axis=1))
+
+        def per_cell(cz, _):
+            i_tile = center[0, cz]                        # (F, cap)
+            oh_i = _onehot(i_tile[RTYPE, :], T1)          # (cap, T1)
+            ci_1d = {name: jnp.dot(oh_i, vec_cols[name],
+                                   preferred_element_type=jnp.float32)
+                     for name in _TABLES_1D}              # (cap, 1) each
+
+            accs = [jnp.zeros((cap,), jnp.float32) for _ in range(n_out)]
+            for k, (ox, oy) in enumerate(offs):
+                sx, sy = _col_shift(cg, ox, oy, c)
+                for dz in (-1, 0, 1):
+                    zz = cz + dz
+                    if pz:
+                        zzm = jax.lax.rem(zz + ncz, ncz)
+                        zvalid = jnp.bool_(True)
+                        sz = jnp.where(
+                            zz < 0, -lz, jnp.where(zz >= ncz, lz, 0.0))
+                    else:
+                        zzm = jnp.clip(zz, 0, ncz - 1)
+                        zvalid = jnp.logical_and(zz >= 0, zz < ncz)
+                        sz = jnp.float32(0.0)
+                    j_tile = col_refs[k][0, zzm]          # (F, cap)
+                    # 3D: slice axis is z; 2D: slice axis is y, z unused
+                    shift = (sx, sy, sz) if dim3 else (sx, sz, 0.0)
+                    parts = part_sums(i_tile, oh_i, ci_1d, j_tile, shift,
+                                      zvalid)
+                    accs = [a + p for a, p in zip(accs, parts)]
+
+            out_rows = {"rho": (ORHO,), "cgrad": (OCGX, OCGY, ODE),
+                        "force": (OFX, OFY, OFZ, ODRHO, ODE)}[sweep]
+            for row, acc in zip(out_rows, accs):
+                out_ref[0, cz, row] = acc
             return 0
 
         jax.lax.fori_loop(0, ncz, per_cell, 0)
@@ -491,6 +477,11 @@ def make_column_kernel(cg: ColumnGrid, spec: PhysicsSpec, ntypes: int,
             out_specs=out_spec,
             out_shape=jax.ShapeDtypeStruct((cg.ncols, cg.ncz, 8, cap),
                                            jnp.float32),
+            compiler_params=pltpu.CompilerParams(
+                # the unrolled 27-slice body needs more scoped VMEM than the
+                # 16M default (v5e has 128M/core)
+                vmem_limit_bytes=100 * 1024 * 1024,
+            ),
             interpret=interpret,
         )(*args)
 
@@ -521,16 +512,17 @@ def pack_tables(tables: PairTables) -> jnp.ndarray:
         raise ValueError("pallas backend supports at most 6 particle types")
     blocks = []
     for name in _TABLES_2D:
-        mat = np.zeros((8, 128), np.float32)
-        mat[:t1, :t1] = np.asarray(getattr(tables, name), np.float32)
+        mat = jnp.zeros((8, 128), jnp.float32)
+        mat = mat.at[:t1, :t1].set(jnp.asarray(getattr(tables, name),
+                                               jnp.float32))
         blocks.append(mat)
     for name in _TABLES_1D:
-        vec = np.asarray(getattr(tables, name), np.float32)
-        mat = np.zeros((8, 128), np.float32)
-        mat[:t1, 0] = vec
-        mat[7, :t1] = vec
+        vec = jnp.asarray(getattr(tables, name), jnp.float32)
+        mat = jnp.zeros((8, 128), jnp.float32)
+        mat = mat.at[:t1, 0].set(vec)
+        mat = mat.at[7, :t1].set(vec)
         blocks.append(mat)
-    return jnp.asarray(np.concatenate(blocks, axis=0))
+    return jnp.concatenate(blocks, axis=0)
 
 
 class PallasBackend:

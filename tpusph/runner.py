@@ -107,6 +107,50 @@ class Runner:
         return state, aux
 
 
+def profile_step(runner: "Runner", state: ParticleState, tables: PairTables,
+                 dt: float, aux=None, istep: int = 0, reps: int = 5):
+    """Per-phase wall-time breakdown (Timer::barrier buckets — SURVEY §5.1).
+
+    The production loop is ONE fused jit block (phases can't be timed from
+    the host), so this times each phase as a separate jitted call on the
+    same state: Modify (integrate halves), Neigh (rebuild/sort), Pair (the
+    sweeps). Returns {phase: seconds} averaged over ``reps``.
+    """
+    import time as _time
+
+    spec, box, backend = runner.spec, runner.box, runner.backend
+    dt = jnp.asarray(dt, jnp.float32)
+
+    phases = {}
+
+    def timeit(name, fn, *args):
+        out = fn(*args)            # compile + warm
+        jax.block_until_ready(out)
+        t0 = _time.perf_counter()
+        for _ in range(reps):
+            out = fn(*args)
+        jax.block_until_ready(out)
+        phases[name] = (_time.perf_counter() - t0) / reps
+        return out
+
+    ii = jax.jit(lambda s: integrate.initial_integrate(s, dt, box))
+    state = timeit("Modify", ii, state)
+
+    prepare = getattr(backend, "prepare", None)
+    if prepare is not None:
+        prep = jax.jit(lambda s, a: prepare(s, a, istep, box))
+        state, aux = timeit("Neigh", prep, state, aux)
+
+    force = jax.jit(lambda s, a: compute_forces(s, tables, spec, box,
+                                                backend, istep=istep, aux=a))
+    state = timeit("Pair", force, state, aux)
+
+    fi = jax.jit(lambda s: integrate.final_integrate(s, dt))
+    state = timeit("Modify2", fi, state)
+    phases["Modify"] += phases.pop("Modify2")
+    return phases
+
+
 # -- global thermo reductions (Thermo::compute, MPI_Allreduce -> psum) -------
 
 @jax.jit
