@@ -39,14 +39,16 @@ thermo_style   custom step time ke
 """
 
 
-def run_case(nbricks, nsteps=60, lx=3.2):
+def run_case(nbricks, nsteps=60, lx=3.2, backend=None):
     interp = Interpreter()
     interp.sim.screen = False
     interp.run_string(PERIODIC_SCRIPT.format(lx=lx, lxf=lx - 0.05))
     sim = interp.sim
+    if backend:
+        sim.backend_name = backend
     if nbricks > 1:
         sim.set_mesh(nbricks)
-    else:
+    elif not backend:
         sim.backend_name = "cellgrid"
     sim.run(nsteps)
     order = None
@@ -83,6 +85,19 @@ def test_bricks_8way():
     dx = a["x"] - b["x"]
     dx -= L * np.round(dx / L)
     np.testing.assert_allclose(dx, 0.0, atol=5e-4)
+
+
+def test_bricks_with_pallas_inner():
+    """Bricks with the fused Pallas kernel per brick (interpret mode on CPU)
+    match the single-device trajectory — the multi-chip perf path."""
+    sim1, a = run_case(1, nsteps=30)
+    sim4, b = run_case(4, nsteps=30, backend="pallas")
+    assert sim4.natoms == sim1.natoms
+    L = np.array([3.2, 1.6, 1.0])
+    dx = a["x"] - b["x"]
+    dx -= L * np.round(dx / L)
+    np.testing.assert_allclose(dx, 0.0, atol=5e-4)
+    np.testing.assert_allclose(a["rho"], b["rho"], rtol=2e-4)
 
 
 def test_dist_overflow_counter_visible():

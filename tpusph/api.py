@@ -307,9 +307,14 @@ class Simulation:
             self.brick_spec = dist.make_brick_spec(
                 self.box, ndev, cutoff, skin, self.natoms,
                 axis_dim=getattr(self, "_mesh_axis_dim", 0))
+            use_pallas = (self.backend_name == "pallas"
+                          or (self.backend_name == "auto"
+                              and jax.default_backend() == "tpu"
+                              and self.tables.ntypes <= 6))
             backend = dist.DistBackend(
                 self.brick_spec, self.box, self.spec.dim, cutoff, skin,
-                cap=self.cell_cap, rebuild_every=self.reneigh_every)
+                cap=self.cell_cap, rebuild_every=self.reneigh_every,
+                use_pallas=use_pallas, ntypes=self.tables.ntypes)
             self._runner = dist.DistRunner(self.spec, self.box, backend,
                                            self.mesh,
                                            end_of_step=self.end_of_step_hook)

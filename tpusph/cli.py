@@ -33,6 +33,9 @@ def main(argv=None):
                        help="force a compute backend")
     run_p.add_argument("--mesh", type=int, default=0,
                        help="decompose over N devices (shard_map bricks)")
+    run_p.add_argument("--profile", default=None, metavar="DIR",
+                       help="capture a jax.profiler trace (TensorBoard/"
+                            "Perfetto) of the run into DIR")
 
     bench_p = sub.add_parser("bench", help="run the throughput benchmark")
     bench_p.add_argument("--particles", type=int, default=1_000_000)
@@ -57,7 +60,12 @@ def main(argv=None):
         if args.echo == "screen":
             for line in text.splitlines():
                 print(f"> {line}")
-        interp.run_string(text)
+        if args.profile:
+            import jax
+            with jax.profiler.trace(args.profile):
+                interp.run_string(text)
+        else:
+            interp.run_string(text)
         return 0
 
     if args.cmd == "bench":

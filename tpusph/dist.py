@@ -149,7 +149,8 @@ class DistBackend:
 
     def __init__(self, spec: BrickSpec, box_global: Box, dim: int,
                  cutoff: float, skin: float, cap: int | None = None,
-                 avg_per_cell: float | None = None, rebuild_every: int = 0):
+                 avg_per_cell: float | None = None, rebuild_every: int = 0,
+                 use_pallas: bool = False, ntypes: int = 1):
         self.spec = spec
         ax = spec.axis_dim
         lo = np.asarray(box_global.lo, np.float64).copy()
@@ -163,7 +164,14 @@ class DistBackend:
         self.geom = gridlib.make_geometry(self.box_local, cutoff, dim,
                                           skin=skin, cap=cap,
                                           avg_per_cell=avg_per_cell)
-        self.inner = CellGridBackend(self.geom)
+        if use_pallas:
+            # fused Pallas kernels per brick (the sweeps run on each
+            # device's block inside shard_map)
+            from tpusph.ops.pallas_pair import PallasBackend
+            self.inner = PallasBackend(self.geom, self.box_local,
+                                       ntypes=ntypes)
+        else:
+            self.inner = CellGridBackend(self.geom)
         self.rebuild_every = rebuild_every
 
     # -- mid-force halo refresh (rhosum rho / colorgradient cg) -------------
