@@ -83,6 +83,65 @@ def test_pallas_matches_cellgrid(dim, periodic):
                                rtol=2e-4, atol=5e-4)
 
 
+def test_pallas_perf_flags_preserve_physics():
+    """scalar-table folding + shared-wfd are pure optimizations: with
+    uniform tables the flagged kernel must equal the unflagged one."""
+    st, box, tables = lattice_system(3, nside=6, ntypes=2, seed=9)
+    # make every table uniform (including tension on all pairs, same cut)
+    h = float(tables.max_cut())
+    for i in (1, 2):
+        for j in (i, 2):
+            tables.set_heatconduction(i, j, d=0.15, h=h)
+            tables.set_surfacetension(i, j, sigma=0.8, h=h)
+    geom = gridlib.make_geometry(box, tables.max_cut(), 3, skin=0.2, cap=32)
+    cgb = CellGridBackend(geom)
+    st_s, data = cgb.init_aux(st, box)
+    base = PhysicsSpec(dim=3, kernel=kernels.LUCY, tait=True,
+                       heatconduction=True, surface_tension=True,
+                       rhosum_every=1)
+    flagged = base._replace(
+        scalar_tables=("cut", "cut_heat", "cut_rho", "cut_tension",
+                       "visc", "heat_D", "sigma", "rho0", "tait_b", "c0",
+                       "gas_gamma"),
+        shared_wfd=True)
+    pb = PallasBackend(geom, box, ntypes=2, interpret=True)
+    cgrad = pb.color_gradient(st_s, tables, base, box, aux=data)
+    f0, dr0, de0 = pb.force(st_s, tables, base, box, aux=data, cg=cgrad)
+    f1, dr1, de1 = pb.force(st_s, tables, flagged, box, aux=data, cg=cgrad)
+    np.testing.assert_allclose(np.asarray(f1), np.asarray(f0),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(de1), np.asarray(de0),
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_pallas_force_stage_matches_sweeps():
+    """The fused force_stage (pack once, dense patches) equals the
+    separate-sweep path."""
+    import dataclasses as dc
+    st, box, tables = lattice_system(3, nside=6, ntypes=2, seed=11)
+    spec = PhysicsSpec(dim=3, kernel=kernels.WENDLAND_C2, tait=True,
+                       heatconduction=True, surface_tension=True,
+                       rhosum_every=1)
+    geom = gridlib.make_geometry(box, tables.max_cut(), 3, skin=0.2, cap=32)
+    pb = PallasBackend(geom, box, ntypes=2, interpret=True)
+    st_s, data = pb.init_aux(st, box)
+
+    rho = pb.rho_summation(st_s, tables, spec, box, aux=data)
+    st_sep = dc.replace(st_s, rho=rho)
+    cgrad = pb.color_gradient(st_sep, tables, spec, box, aux=data)
+    f, drho, de = pb.force(st_sep, tables, spec, box, aux=data, cg=cgrad)
+
+    st_fused = pb.force_stage(st_s, tables, spec, box, data, istep=0)
+    np.testing.assert_allclose(np.asarray(st_fused.rho), np.asarray(rho),
+                               rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(st_fused.f), np.asarray(f),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(st_fused.drho), np.asarray(drho),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(st_fused.de), np.asarray(de),
+                               rtol=1e-5, atol=1e-6)
+
+
 def test_pallas_morris_and_idealgas():
     st, box, tables = lattice_system(3, nside=6, seed=5)
     geom = gridlib.make_geometry(box, tables.max_cut(), 3, skin=0.2, cap=32)

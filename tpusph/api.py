@@ -11,6 +11,7 @@ numpy (staged), the run loop is device-side jitted blocks (tpusph.runner).
 from __future__ import annotations
 
 import dataclasses
+import math
 from typing import Callable, Dict, List, Optional
 
 import jax
@@ -218,22 +219,32 @@ class Simulation:
 
     def _pull_state(self):
         """Sync device state back into staged host arrays (after a run, so
-        `set` and queries see current values)."""
+        `set` and queries see current values). Vectorized — no Python loops
+        over particles."""
         if self.state is None or not self._staged:
             return
         n = len(self._staged["x"])
         dev = jax.device_get(self.state)
-        # map pool slots back to staged order by tag
-        order = np.argsort(dev.tag[: n])  # pool preserves order pre-sort
-        alive = dev.type > 0
+        alive = (dev.type > 0) & dev.owned
         idx = np.nonzero(alive)[0]
         tags = dev.tag[idx]
-        pos = {t: i for t, i in zip(tags, idx)}
-        sel = np.array([pos[t] for t in self._staged["tag"] if t in pos])
-        if len(sel) != n:
+        staged_tags = self._staged["tag"]
+        if len(idx) == n:
+            # map pool rows to staged order by tag (vectorized join)
+            order = np.argsort(tags, kind="stable")
+            sorted_tags = tags[order]
+            pos_in_sorted = np.searchsorted(sorted_tags, staged_tags)
+            ok = (pos_in_sorted < len(sorted_tags)) & \
+                (sorted_tags[np.clip(pos_in_sorted, 0, len(sorted_tags) - 1)]
+                 == staged_tags)
+            sel = idx[order[np.clip(pos_in_sorted, 0, len(sorted_tags) - 1)]]
+            if not ok.all():
+                sel = idx
+                self._staged["tag"] = tags
+        else:
             # particles were created/destroyed (phase change): rebuild staging
             sel = idx
-            self._staged["tag"] = dev.tag[sel]
+            self._staged["tag"] = tags
         for k in ("x", "v", "rho", "e", "cv", "rmass"):
             self._staged[k] = np.asarray(getattr(dev, k)[sel])
         self._staged["type"] = np.asarray(dev.type[sel])
@@ -262,11 +273,18 @@ class Simulation:
             cutoff = self.tables.max_cut()
             skin = self.neighbor_skin if self.neighbor_skin is not None \
                 else 0.3 * cutoff
-            vol = float(np.prod(np.asarray(self.box.length)[: self.spec.dim]))
-            avg = self.natoms * (cutoff + skin) ** self.spec.dim / max(vol, 1e-30)
+            if self.cell_cap is not None:
+                cap = self.cell_cap
+            else:
+                # measuring pulls device state to host — do it once per
+                # (cutoff, skin, natoms), not on every run() call
+                mkey = (cutoff, skin, self.natoms)
+                if getattr(self, "_mcap_key", None) != mkey:
+                    self._mcap_key = mkey
+                    self._mcap = self._measured_cell_cap(cutoff, skin)
+                cap = self._mcap
             geom = gridlib.make_geometry(self.box, cutoff, self.spec.dim,
-                                         skin=skin, cap=self.cell_cap,
-                                         avg_per_cell=avg)
+                                         skin=skin, cap=cap)
             key = (name, geom, self.reneigh_every)
             if self._backend_cache.get("key") != key:
                 if name == "pallas":
@@ -283,7 +301,33 @@ class Simulation:
             return self._backend_cache["backend"]
         raise ValueError(f"unknown backend '{name}'")
 
+    def _derive_perf_flags(self):
+        """Inspect the concrete coefficient tables and set the static perf
+        flags (scalar-table folding / shared cutoff) on the spec."""
+        from tpusph.ops.pair_terms import PAIR_TABLES_1D, PAIR_TABLES_2D
+        t = self.tables
+        nt = t.ntypes
+        scalar = []
+        for name in PAIR_TABLES_2D + PAIR_TABLES_1D:
+            arr = np.asarray(getattr(t, name))
+            sub = arr[1:nt + 1, 1:nt + 1] if arr.ndim == 2 else arr[1:nt + 1]
+            if sub.size and np.all(sub == sub.flat[0]):
+                scalar.append(name)
+        active_cuts = []
+        if self.spec.tait or self.spec.morris or self.spec.ideal_gas:
+            active_cuts.append("cut")
+        if self.spec.heatconduction:
+            active_cuts.append("cut_heat")
+        if self.spec.surface_tension:
+            active_cuts.append("cut_tension")
+        shared = (all(c in scalar for c in active_cuts) and len(active_cuts) > 0
+                  and len({float(np.asarray(getattr(t, c))[1, 1])
+                           for c in active_cuts}) == 1)
+        self.spec = self.spec._replace(scalar_tables=tuple(sorted(scalar)),
+                                       shared_wfd=bool(shared))
+
     def _ensure_runner(self):
+        self._derive_perf_flags()
         if self.mesh is not None:
             return self._ensure_dist_runner()
         backend = self._select_backend()
@@ -423,6 +467,30 @@ class Simulation:
         self.time_acc += nsteps * self.dt
         self.step_count += nsteps
         return self
+
+    def _measured_cell_cap(self, cutoff: float, skin: float) -> int:
+        """Cell capacity from the MEASURED occupancy histogram of the current
+        configuration (+25% headroom, 8-aligned). Tight caps are the main
+        pair-sweep cost lever (cost scales with cap); the runtime overflow
+        guard (_check_overflow) aborts loudly if dynamics outgrow it —
+        raise Simulation.cell_cap then."""
+        if self.state is not None:
+            self._pull_state()
+        x = np.asarray(self._staged["x"])
+        lo = np.asarray(self.box.lo)
+        length = np.asarray(self.box.hi) - lo
+        side = cutoff + skin
+        nc = np.maximum(np.floor(length / side).astype(int), 1)
+        if self.spec.dim == 2:
+            nc[2] = 1
+        size = length / nc
+        c = np.clip(((x - lo) // size).astype(int), 0, nc - 1)
+        flat = (c[:, 0] * nc[1] + c[:, 1]) * nc[2] + c[:, 2]
+        max_occ = int(np.bincount(flat).max()) if len(flat) else 8
+        # headroom over the MEASURED max (overflow aborts loudly if dynamics
+        # outgrow it); phase change inserts particles -> more
+        frac = 1.6 if self.phase_change_config else 1.15
+        return int(math.ceil((max_occ * frac + 2) / 8.0) * 8)
 
     def _check_overflow(self):
         """Fixed-capacity overflow guard (the 'dangerous builds' analog,

@@ -68,7 +68,10 @@ def build_bench_sim(n_particles: int, dim: int = 3, multiphase: bool = True,
         sim.pair_surfacetension()
         sim.tables.set_surfacetension(1, 2, sigma=0.05, h=h)
 
-    sim.neighbor_skin = 0.5 * dx
+    # skin = 1 dx makes the cell side exactly 4 dx: uniform 64-particle
+    # occupancy on the sc lattice (tight cap, no misalignment waste) and a
+    # longer rebuild horizon
+    sim.neighbor_skin = 1.0 * dx
     sim.dt = 2e-3
     sim.thermo(0)
     return sim

@@ -31,6 +31,11 @@ def compute_forces(state: ParticleState, tables: PairTables, spec: PhysicsSpec,
     """
     kw = {} if aux is None else dict(aux=aux)
 
+    if hasattr(backend, "force_stage"):
+        # fused stage (Pallas): one pack, dense-to-dense rho/cg patches,
+        # three kernels, one unpack — no per-sweep scatter/gather
+        return backend.force_stage(state, tables, spec, box, aux, istep)
+
     if spec.rhosum_every > 0:
         recompute = (jnp.asarray(istep) % spec.rhosum_every) == 0
         rho_new = backend.rho_summation(state, tables, spec, box, **kw)

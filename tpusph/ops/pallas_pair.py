@@ -232,7 +232,9 @@ def make_column_kernel(cg: ColumnGrid, spec: PhysicsSpec, ntypes: int,
 
     n_out = {"rho": 1, "cgrad": 3, "force": 5}[sweep]
 
-    def kernel(tabs_ref, *refs):
+    _ORDER = list(_TABLES_2D) + list(_TABLES_1D)
+
+    def kernel(scal_ref, tabs_ref, *refs):
         out_ref = refs[-1]
         col_refs = refs[:-1]
         c = pl.program_id(0)
@@ -266,12 +268,17 @@ def make_column_kernel(cg: ColumnGrid, spec: PhysicsSpec, ntypes: int,
             oh_jt = _onehot_t(j_tile[RTYPE, :], T1)       # (T1, cap)
 
             def c2d(name):
+                # scalar-table folding: a uniform table needs no MXU lookup
+                if name in spec.scalar_tables:
+                    return scal_ref[_ORDER.index(name)]   # SMEM scalar
                 return jnp.dot(
                     jnp.dot(oh_i, tabs2d[name],
                             preferred_element_type=jnp.float32),
                     oh_jt, preferred_element_type=jnp.float32)
 
             def cj_1d(name):
+                if name in spec.scalar_tables:
+                    return scal_ref[_ORDER.index(name)]   # SMEM scalar
                 return jnp.dot(vec_rows[name], oh_jt,
                                preferred_element_type=jnp.float32)  # (1, cap)
 
@@ -284,6 +291,24 @@ def make_column_kernel(cg: ColumnGrid, spec: PhysicsSpec, ntypes: int,
                     & (rsq > 1e-12) & zvalid)
             r = jnp.sqrt(jnp.maximum(rsq, 1e-30))
             m_j = jrow(RM)
+
+            # shared cutoff context: with spec.shared_wfd all active cutoffs
+            # are one value, so live/wfd/sanitized fields are computed once
+            _ctx_cache = {}
+
+            def term_ctx(cut_name):
+                key = "shared" if spec.shared_wfd else cut_name
+                if key not in _ctx_cache:
+                    cut = c2d(cut_name)
+                    live = mask & (rsq < cut * cut) & (cut > 0.0)
+                    wfd = jnp.where(
+                        live, wfd_fn(r, jnp.maximum(cut, 1e-30)), 0.0)
+                    rho_i = jnp.where(live, irow(RRHO), 1.0)
+                    rho_j = jnp.where(live, jrow(RRHO), 1.0)
+                    mi = jnp.where(live, irow(RM), 1.0)
+                    mj = jnp.where(live, m_j, 1.0)
+                    _ctx_cache[key] = (cut, live, wfd, rho_i, rho_j, mi, mj)
+                return _ctx_cache[key]
 
             if sweep == "rho":
                 cut = c2d("cut_rho")
@@ -314,13 +339,7 @@ def make_column_kernel(cg: ColumnGrid, spec: PhysicsSpec, ntypes: int,
             dvdr = dv0 * dx0 + dv1 * dx1 + dv2 * dx2
 
             if spec.tait or spec.morris or spec.ideal_gas:
-                cut = c2d("cut")
-                live = mask & (rsq < cut * cut) & (cut > 0.0)
-                wfd = jnp.where(live, wfd_fn(r, jnp.maximum(cut, 1e-30)), 0.0)
-                rho_i = jnp.where(live, irow(RRHO), 1.0)
-                rho_j = jnp.where(live, jrow(RRHO), 1.0)
-                mi = jnp.where(live, m_i, 1.0)
-                mj = jnp.where(live, m_j, 1.0)
+                cut, live, wfd, rho_i, rho_j, mi, mj = term_ctx("cut")
 
                 def eos(rho, e, rmass, rho0, b, gamma):
                     if spec.ideal_gas and not spec.tait:
@@ -375,13 +394,7 @@ def make_column_kernel(cg: ColumnGrid, spec: PhysicsSpec, ntypes: int,
                     drho = drho + jnp.where(live, m_j * dvdr * wfd, 0.0)
 
             if spec.heatconduction:
-                cut = c2d("cut_heat")
-                live = mask & (rsq < cut * cut) & (cut > 0.0)
-                wfd = jnp.where(live, wfd_fn(r, jnp.maximum(cut, 1e-30)), 0.0)
-                rho_i = jnp.where(live, irow(RRHO), 1.0)
-                rho_j = jnp.where(live, jrow(RRHO), 1.0)
-                mi = jnp.where(live, m_i, 1.0)
-                mj = jnp.where(live, m_j, 1.0)
+                cut, live, wfd, rho_i, rho_j, mi, mj = term_ctx("cut_heat")
                 coef = (2.0 * mi * mj / (mi + mj)) * \
                     ((rho_i + rho_j) / (rho_i * rho_j))
                 de = de + jnp.where(
@@ -390,13 +403,7 @@ def make_column_kernel(cg: ColumnGrid, spec: PhysicsSpec, ntypes: int,
                     0.0)
 
             if spec.surface_tension:
-                cut = c2d("cut_tension")
-                live = mask & (rsq < cut * cut) & (cut > 0.0)
-                wfd = jnp.where(live, wfd_fn(r, jnp.maximum(cut, 1e-30)), 0.0)
-                rho_i = jnp.where(live, irow(RRHO), 1.0)
-                rho_j = jnp.where(live, jrow(RRHO), 1.0)
-                mi = jnp.where(live, m_i, 1.0)
-                mj = jnp.where(live, m_j, 1.0)
+                cut, live, wfd, rho_i, rho_j, mi, mj = term_ctx("cut_tension")
                 coef = jnp.where(live, mi * mj * wfd, 0.0)
 
                 def stress_dot_dx(c0, c1, c2, inv_r2):
@@ -423,9 +430,11 @@ def make_column_kernel(cg: ColumnGrid, spec: PhysicsSpec, ntypes: int,
         def per_cell(cz, _):
             i_tile = center[0, cz]                        # (F, cap)
             oh_i = _onehot(i_tile[RTYPE, :], T1)          # (cap, T1)
-            ci_1d = {name: jnp.dot(oh_i, vec_cols[name],
-                                   preferred_element_type=jnp.float32)
-                     for name in _TABLES_1D}              # (cap, 1) each
+            ci_1d = {name: (scal_ref[_ORDER.index(name)]  # SMEM scalar
+                            if name in spec.scalar_tables else
+                            jnp.dot(oh_i, vec_cols[name],
+                                    preferred_element_type=jnp.float32))
+                     for name in _TABLES_1D}              # (cap,1) or scalar
 
             accs = [jnp.zeros((cap,), jnp.float32) for _ in range(n_out)]
             for k, (ox, oy) in enumerate(offs):
@@ -456,8 +465,9 @@ def make_column_kernel(cg: ColumnGrid, spec: PhysicsSpec, ntypes: int,
 
         jax.lax.fori_loop(0, ncz, per_cell, 0)
 
-    # tables input: full small array in VMEM
-    in_specs = [pl.BlockSpec(memory_space=pltpu.VMEM)]
+    # scalar fold values in SMEM, tables in VMEM
+    in_specs = [pl.BlockSpec(memory_space=pltpu.SMEM),
+                pl.BlockSpec(memory_space=pltpu.VMEM)]
     for ox, oy in offs:
         in_specs.append(
             pl.BlockSpec((1, ncz, F_ROWS, cap),
@@ -469,7 +479,8 @@ def make_column_kernel(cg: ColumnGrid, spec: PhysicsSpec, ntypes: int,
                             memory_space=pltpu.VMEM)
 
     def call(tabs, dense):
-        args = [tabs] + [dense] * len(offs)
+        scal, tab_mat = tabs
+        args = [scal, tab_mat] + [dense] * len(offs)
         return pl.pallas_call(
             kernel,
             grid=(cg.ncols,),
@@ -522,7 +533,13 @@ def pack_tables(tables: PairTables) -> jnp.ndarray:
         mat = mat.at[:t1, 0].set(vec)
         mat = mat.at[7, :t1].set(vec)
         blocks.append(mat)
-    return jnp.concatenate(blocks, axis=0)
+    mat = jnp.concatenate(blocks, axis=0)
+    scal = jnp.concatenate(
+        [jnp.asarray(getattr(tables, n), jnp.float32)[1, 1][None]
+         for n in _TABLES_2D]
+        + [jnp.asarray(getattr(tables, n), jnp.float32)[1][None]
+           for n in _TABLES_1D])
+    return scal, mat
 
 
 class PallasBackend:
@@ -597,3 +614,75 @@ class PallasBackend:
 
     def vapor_neighbor(self, state, box, vtype, cut, aux):
         return self._cells.vapor_neighbor(state, box, vtype, cut, aux)
+
+    # -- fused force stage (single-device fast path) -------------------------
+
+    def force_stage(self, state, tables, spec: PhysicsSpec, box, aux, istep):
+        """The whole force stage with ONE pack and dense-to-dense rho / cg
+        patches: the sweep kernels' outputs are already in the dense cell
+        layout, so refreshed rho and color-gradient rows are copied straight
+        into the packed input of the next kernel — no per-sweep scatters
+        (XLA TPU scatters cost ~100 ns/row; this saves two of three).
+
+        The dist path keeps the separate per-sweep methods (it must halo-
+        refresh rho/cg between kernels)."""
+        cg = self.colgrid
+        dense, flat_pos, ok = pack_dense(state, aux, cg)
+        sentinel = jnp.zeros((1,) + dense.shape[1:], jnp.float32)
+        tabs = pack_tables(tables)
+
+        def run(sweep, d):
+            return self._call(spec, sweep)(
+                tabs, jnp.concatenate([d, sentinel], axis=0))
+
+        rho_state = state.rho
+        if spec.rhosum_every > 0:
+            out = run("rho", dense)
+            rho_dense = out[:, :, ORHO, :]
+            # self term m_i W(0): per-type scalar W0 selected densely
+            type_dense = dense[:, :, RTYPE, :]
+            m_dense = dense[:, :, RM, :]
+            w_fn = kernels.kernel_w(spec.kernel, spec.dim)
+            w0_sum = jnp.zeros_like(rho_dense)
+            for t in range(1, self.ntypes + 1):
+                cut_t = tables.cut_rho[t, t]
+                w0_t = jnp.where(cut_t > 0.0,
+                                 w_fn(jnp.zeros(()), jnp.maximum(cut_t, 1e-30)),
+                                 0.0)
+                w0_sum = w0_sum + jnp.where(type_dense == t, m_dense * w0_t,
+                                            0.0)
+            rho_dense = rho_dense + w0_sum
+            recompute = (jnp.asarray(istep) % spec.rhosum_every) == 0
+            old = dense[:, :, RRHO, :]
+            alive_d = type_dense > 0.5
+            new = jnp.where(recompute & alive_d, rho_dense, old)
+            dense = dense.at[:, :, RRHO, :].set(new)
+            # per-particle rho: slot order (col, z, rank) == flat_pos order
+            safe = jnp.where(ok, flat_pos, 0)
+            rho_state = jnp.where(ok, new.reshape(-1)[safe], state.rho)
+
+        if spec.surface_tension:
+            out = run("cgrad", dense)
+            dense = dense.at[:, :, RCGX, :].set(out[:, :, OCGX, :])
+            dense = dense.at[:, :, RCGY, :].set(out[:, :, OCGY, :])
+            dense = dense.at[:, :, RCGZ, :].set(out[:, :, ODE, :])
+
+        out = run("force", dense)
+        fx, fy, fz, drho, de = unpack_dense(out, flat_pos, ok,
+                                            (OFX, OFY, OFZ, ODRHO, ODE))
+        f = jnp.stack([fx, fy, fz], axis=1)
+        alive = state.alive
+        state = dataclasses.replace(
+            state,
+            rho=rho_state,
+            f=jnp.where(alive[:, None], f, 0.0),
+            drho=jnp.where(alive, drho, 0.0),
+            de=jnp.where(alive, de, 0.0),
+        )
+        if spec.gravity:
+            gmask = (state.alive & state.mobile)[:, None]
+            state = dataclasses.replace(
+                state,
+                f=state.f + jnp.where(
+                    gmask, state.rmass[:, None] * tables.gravity[None, :], 0.0))
+        return state

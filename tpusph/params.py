@@ -47,6 +47,13 @@ class PhysicsSpec(NamedTuple):
     continuity: bool = True
     # `fix gravity` body force (vector lives in PairTables.gravity):
     gravity: bool = False
+    # perf flags derived from the CONCRETE coefficient tables at runner
+    # build (api._ensure_runner): names of tables whose entries are uniform
+    # over real types (kernel folds them to scalars instead of one-hot
+    # matmuls), and whether all active cutoffs are one shared value
+    # (kernel computes the kernel-derivative/mask once per slice).
+    scalar_tables: tuple = ()
+    shared_wfd: bool = False
 
 
 def _t1(ntypes, fill=0.0):
