@@ -150,3 +150,36 @@ def test_water_collapse_script_parses():
     walls = sim.group_mask("walls")
     assert not sim._staged["mobile"][walls].any()
     assert sim._staged["mobile"][~walls].all()
+
+
+def test_dump_xyz(tmp_path):
+    interp = Interpreter()
+    interp.sim.screen = False
+    interp.run_string(SMALL_SCRIPT)
+    path = str(tmp_path / "dump.xyz")
+    interp.command(f"dump dx all xyz 10 {path}")
+    interp.command("run 10")
+    lines = open(path).read().splitlines()
+    assert lines[0] == "144"
+    assert lines[1].startswith("Atoms. Timestep:")
+    assert len(lines[2].split()) == 4
+
+
+def test_orbax_restart_roundtrip(tmp_path):
+    pytest.importorskip("orbax.checkpoint")
+    from tpusph.io import restart_orbax
+
+    interp = Interpreter()
+    interp.sim.screen = False
+    interp.run_string(SMALL_SCRIPT)
+    interp.command("run 5")
+    path = str(tmp_path / "ckpt")
+    restart_orbax.save(path, interp.sim)
+
+    from tpusph.api import Simulation
+    sim2 = Simulation(screen=False)
+    restart_orbax.load(path, sim2)
+    assert sim2.step_count == 5
+    np.testing.assert_allclose(sim2.get("x"), interp.sim.get("x"), atol=1e-7)
+    sim2.run(3)
+    assert sim2.step_count == 8

@@ -78,6 +78,16 @@ class Dump:
         idx = np.nonzero(alive)[0]
         order = idx[np.argsort(dev.tag[idx], kind="stable")]
         box = sim.box
+        if self.style == "xyz":
+            # dump_xyz.cpp format: natoms, comment, then "type x y z" rows
+            x = np.asarray(dev.x)[order]
+            t = np.asarray(dev.type)[order]
+            f.write(f"{len(order)}\n")
+            f.write(f"Atoms. Timestep: {istep}\n")
+            for i in range(len(order)):
+                f.write(f"{t[i]} {x[i,0]:.8g} {x[i,1]:.8g} {x[i,2]:.8g}\n")
+            f.flush()
+            return
         bchar = ["pp" if p else "ff" for p in box.periodic]
         f.write("ITEM: TIMESTEP\n%d\n" % istep)
         f.write("ITEM: NUMBER OF ATOMS\n%d\n" % len(order))

@@ -68,7 +68,10 @@ def read_restart(path: str, sim):
         tab_kwargs = {}
         for f in dataclasses.fields(PairTables):
             tab_kwargs[f.name] = jax.numpy.asarray(z[f"tables_{f.name}"])
-    sim.spec = PhysicsSpec(**meta["spec"])
+    spec_kw = dict(meta["spec"])
+    # json turns tuples into lists; spec must stay hashable
+    spec_kw["scalar_tables"] = tuple(spec_kw.get("scalar_tables", ()))
+    sim.spec = PhysicsSpec(**spec_kw)
     sim.tables = PairTables(**tab_kwargs)
     sim.state = ParticleState(**state_kwargs)
     sim.box = Box.create(meta["box_lo"], meta["box_hi"],

@@ -11,7 +11,7 @@ from __future__ import annotations
 
 import math
 import sys
-from typing import Callable, Dict, List, Optional, TextIO
+from typing import Dict, List, Optional, TextIO
 
 # LAMMPS header spellings for thermo_style custom keywords.
 HEADER_NAMES = {

@@ -16,7 +16,7 @@ layout.
 from __future__ import annotations
 
 import dataclasses
-from functools import partial
+
 from typing import Callable, Optional
 
 import jax

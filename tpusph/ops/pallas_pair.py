@@ -32,8 +32,6 @@ equivalence tests enforce it against the XLA cell-grid/dense oracles.
 from __future__ import annotations
 
 import dataclasses
-import functools
-import math
 from typing import NamedTuple
 
 import jax

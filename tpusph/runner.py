@@ -10,7 +10,7 @@ leaves the device.
 
 from __future__ import annotations
 
-import dataclasses
+
 import time
 from functools import partial
 from typing import Any, Callable, Optional

@@ -14,7 +14,7 @@ from __future__ import annotations
 import math
 import re
 import warnings
-from typing import Callable, Dict, List, Optional
+from typing import Dict, List, Optional
 
 import numpy as np
 
