@@ -183,3 +183,23 @@ def test_orbax_restart_roundtrip(tmp_path):
     np.testing.assert_allclose(sim2.get("x"), interp.sim.get("x"), atol=1e-7)
     sim2.run(3)
     assert sim2.step_count == 8
+
+
+def test_velocity_create_and_press_column(tmp_path):
+    interp = Interpreter()
+    interp.sim.screen = False
+    interp.run_string(SMALL_SCRIPT)
+    interp.command("velocity all create 0.01 4928459")
+    v = interp.sim._staged["v"]
+    m = interp.sim._staged["rmass"]
+    # zero net momentum, roughly the requested temperature
+    assert np.abs((v * m[:, None]).sum(0)).max() < 1e-6
+    ke_per = 0.5 * (m[:, None] * v**2).sum() / len(m)
+    assert 0.5 * 2 * 0.01 * 0.5 < ke_per < 0.5 * 2 * 0.01 * 2.0  # dim=2
+    # press thermo column runs and is finite
+    interp.command("thermo_style custom step press")
+    interp.command("thermo 5")
+    interp.sim.log_path = str(tmp_path / "log.press")
+    interp.command("run 5")
+    txt = open(tmp_path / "log.press").read()
+    assert "Press" in txt

@@ -402,6 +402,17 @@ class Simulation:
                 vals[c] = 2.0 * float(sc["ke"]) / max(dim * natoms, 1)
             elif c == "density":
                 vals[c] = float(sc["rho_avg"])
+            elif c == "press":
+                # mean EOS pressure over alive particles (thermo `press` for
+                # a particle fluid: no virial wall terms)
+                dev = jax.device_get(state)
+                alive = (dev.type > 0) & dev.owned
+                t = np.asarray(jax.device_get(self.tables.rho0))
+                b = np.asarray(jax.device_get(self.tables.tait_b))
+                rho0 = t[dev.type[alive]]
+                bb = b[dev.type[alive]]
+                q = dev.rho[alive] / np.maximum(rho0, 1e-30)
+                vals[c] = float(np.mean(bb * (q**7 - 1.0))) if alive.any() else 0.0
             elif c in self.custom_columns:
                 vals[c] = float(self.custom_columns[c](self, sc, istep))
             else:

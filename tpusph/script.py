@@ -311,14 +311,30 @@ class Interpreter:
 
     def cmd_velocity(self, a):
         gid = a[0]
-        if a[1] != "set":
-            raise ScriptError("only 'velocity <group> set vx vy vz' supported")
+        mode = a[1]
         mask = self.sim.group_mask(gid)
-        v = np.zeros((int(mask.sum()), 3), np.float32)
-        for d in range(3):
-            tok = a[2 + d]
-            v[:, d] = 0.0 if tok == "NULL" else _num(tok)
         self.sim._pull_state()
+        n = int(mask.sum())
+        if mode == "set":
+            v = np.zeros((n, 3), np.float32)
+            for d in range(3):
+                tok = a[2 + d]
+                v[:, d] = 0.0 if tok == "NULL" else _num(tok)
+        elif mode == "create":
+            # Maxwell-Boltzmann at temperature T (velocity.cpp create):
+            # sigma^2 = kB T / m per component (kB = 1 in lj/si-raw units),
+            # momentum-zeroed like LAMMPS's default `momentum yes`
+            temp = _num(a[2])
+            seed = int(a[3]) if len(a) > 3 else 12345
+            rng = np.random.default_rng(seed)
+            m = self.sim._staged["rmass"][mask]
+            v = rng.normal(0.0, 1.0, size=(n, 3)).astype(np.float32)
+            v *= np.sqrt(temp / np.maximum(m, 1e-30))[:, None]
+            v -= (v * m[:, None]).sum(0) / max(m.sum(), 1e-30)
+            if self.sim.spec.dim == 2:
+                v[:, 2] = 0.0
+        else:
+            raise ScriptError("velocity modes supported: set, create")
         arr = self.sim._staged["v"]
         arr[mask] = v
         self.sim._staged["v"] = arr
