@@ -110,3 +110,62 @@ def test_dist_overflow_counter_visible():
     sim.run(10)
     ov = int(np.sum(np.asarray(jax.device_get(sim.aux.overflow))))
     assert ov == 0
+
+
+DAM_DIST_SCRIPT = """
+dimension      2
+units          si
+atom_style     meso
+boundary       f f p
+
+region         box block 0 4 0 1.5 -0.05 0.05 units box
+create_box     2 box
+lattice        sq 0.1
+
+region         wbottom block 0.0 4.0 0.0 0.35 -0.05 0.05 units box
+region         water block 0.45 1.2 0.45 1.2 -0.05 0.05 units box
+create_atoms   1 region water
+create_atoms   2 region wbottom
+
+group          water type 1
+group          walls type 2
+set            group all meso/rho 1000.0 meso/e 0.0 meso/cv 1.0 mass 10.0
+
+pair_style     hybrid/overlay sph/rhosum 1 sph/taitwater/morris
+pair_coeff     * * sph/rhosum 0.3
+pair_coeff     * * sph/taitwater/morris 1000.0 15.0 0.5 0.3
+
+fix            gfix water gravity -9.81 vector 0 1 0
+fix            integrate water meso
+fix            wallfix walls meso/stationary
+neighbor       0.1 bin
+timestep       2.0e-4
+thermo_style   custom step time ke
+"""
+
+
+def test_bricks_dam_break_migration():
+    """Gravity-driven flow across brick boundaries: stationary walls,
+    migration, free surface, non-periodic box. 1-device vs 4-brick."""
+    def run(nbricks, nsteps=120):
+        interp = Interpreter()
+        interp.sim.screen = False
+        interp.run_string(DAM_DIST_SCRIPT)
+        sim = interp.sim
+        if nbricks > 1:
+            sim.set_mesh(nbricks)
+        else:
+            sim.backend_name = "cellgrid"
+        sim.run(nsteps)
+        return sim
+
+    s1 = run(1)
+    s4 = run(4)
+    assert s4.natoms == s1.natoms
+    assert np.array_equal(s1.get("tag"), s4.get("tag"))
+    np.testing.assert_allclose(s4.get("x"), s1.get("x"), atol=1e-3)
+    np.testing.assert_allclose(s4.get("rho"), s1.get("rho"), rtol=5e-4)
+    # dynamics actually happened: the water picked up downward momentum
+    water = s1.get("type") == 1
+    vy = s1.get("v")[water][:, 1]
+    assert vy.mean() < -1e-3
