@@ -55,8 +55,15 @@ def main(argv=None):
             sim.set_mesh(args.mesh)
         interp = Interpreter(sim=sim,
                              variables={k: v for k, v in args.var})
-        text = sys.stdin.read() if args.script == "-" else \
-            open(args.script).read()
+        if args.script == "-":
+            text = sys.stdin.read()
+        else:
+            try:
+                text = open(args.script).read()
+            except FileNotFoundError:
+                print(f"tpusph: input script not found: {args.script}",
+                      file=sys.stderr)
+                return 2
         if args.echo == "screen":
             for line in text.splitlines():
                 print(f"> {line}")

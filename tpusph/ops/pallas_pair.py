@@ -427,6 +427,14 @@ def make_column_kernel(cg: ColumnGrid, spec: PhysicsSpec, ntypes: int,
 
         def per_cell(cz, _):
             i_tile = center[0, cz]                        # (F, cap)
+            # empty i-cell: nothing to compute or write (no alive particle
+            # maps to this cell's output slots)
+            @pl.when(jnp.any(i_tile[RTYPE, :] > 0.5))
+            def _():
+                _per_cell_body(cz, i_tile)
+            return 0
+
+        def _per_cell_body(cz, i_tile):
             oh_i = _onehot(i_tile[RTYPE, :], T1)          # (cap, T1)
             ci_1d = {name: (scal_ref[_ORDER.index(name)]  # SMEM scalar
                             if name in spec.scalar_tables else
@@ -451,6 +459,10 @@ def make_column_kernel(cg: ColumnGrid, spec: PhysicsSpec, ntypes: int,
                     j_tile = col_refs[k][0, zzm]          # (F, cap)
                     # 3D: slice axis is z; 2D: slice axis is y, z unused
                     shift = (sx, sy, sz) if dim3 else (sx, sz, 0.0)
+                    # NOTE: a per-slice lax.cond empty-skip was measured and
+                    # REVERTED — the branch machinery costs ~2x on dense
+                    # systems (27 conds/cell defeat Mosaic's pipelining).
+                    # Sparse skipping only pays at cell granularity (below).
                     parts = part_sums(i_tile, oh_i, ci_1d, j_tile, shift,
                                       zvalid)
                     accs = [a + p for a, p in zip(accs, parts)]
@@ -459,7 +471,6 @@ def make_column_kernel(cg: ColumnGrid, spec: PhysicsSpec, ntypes: int,
                         "force": (OFX, OFY, OFZ, ODRHO, ODE)}[sweep]
             for row, acc in zip(out_rows, accs):
                 out_ref[0, cz, row] = acc
-            return 0
 
         jax.lax.fori_loop(0, ncz, per_cell, 0)
 
