@@ -12,6 +12,7 @@ from __future__ import annotations
 
 import dataclasses
 import math
+import time
 from typing import Callable, Dict, List, Optional
 
 import jax
@@ -68,6 +69,8 @@ class Simulation:
         self.aux = None
         self.restart_schedule = None
         self.phase_change_config = None
+        self.timer_detail = True  # measured Pair/Neigh/Modify split in the
+        #                           run-end Timer table (one-time profile)
 
         # multi-device (dist) mode
         self.mesh = None            # jax.sharding.Mesh over "bricks"
@@ -217,6 +220,17 @@ class Simulation:
             e=s["e"], cv=s["cv"], tag=s["tag"], mobile=s["mobile"],
             capacity=cap)
 
+    def _host_x(self, dev) -> np.ndarray:
+        """Positions of the device-fetched state in GLOBAL coordinates.
+        In dist mode positions are brick-local along the decomposition axis
+        (dist.py design note); every host-side consumer (dump, restart,
+        write_data, _pull_state) must go through this."""
+        x = np.asarray(dev.x)
+        if self.mesh is not None and self.brick_spec is not None:
+            from tpusph.dist import globalize_positions
+            x = globalize_positions(x, self.brick_spec, self.local_cap)
+        return x
+
     def _pull_state(self):
         """Sync device state back into staged host arrays (after a run, so
         `set` and queries see current values). Vectorized — no Python loops
@@ -225,6 +239,7 @@ class Simulation:
             return
         n = len(self._staged["x"])
         dev = jax.device_get(self.state)
+        host_x = self._host_x(dev)
         alive = (dev.type > 0) & dev.owned
         idx = np.nonzero(alive)[0]
         tags = dev.tag[idx]
@@ -245,7 +260,8 @@ class Simulation:
             # particles were created/destroyed (phase change): rebuild staging
             sel = idx
             self._staged["tag"] = tags
-        for k in ("x", "v", "rho", "e", "cv", "rmass"):
+        self._staged["x"] = host_x[sel]
+        for k in ("v", "rho", "e", "cv", "rmass"):
             self._staged[k] = np.asarray(getattr(dev, k)[sel])
         self._staged["type"] = np.asarray(dev.type[sel])
         self._staged["mobile"] = np.asarray(dev.mobile[sel])
@@ -355,9 +371,15 @@ class Simulation:
                           or (self.backend_name == "auto"
                               and jax.default_backend() == "tpu"
                               and self.tables.ntypes <= 6))
+            # measured cell cap, like the single-device path (a too-small
+            # default cap would silently need the overflow abort); extra
+            # headroom for ghost/migration churn at brick edges
+            cap = self.cell_cap
+            if cap is None:
+                cap = max(self._measured_cell_cap(cutoff, skin, frac=1.6), 16)
             backend = dist.DistBackend(
                 self.brick_spec, self.box, self.spec.dim, cutoff, skin,
-                cap=self.cell_cap, rebuild_every=self.reneigh_every,
+                cap=cap, rebuild_every=self.reneigh_every,
                 use_pallas=use_pallas, ntypes=self.tables.ntypes)
             self._runner = dist.DistRunner(self.spec, self.box, backend,
                                            self.mesh,
@@ -403,16 +425,10 @@ class Simulation:
             elif c == "density":
                 vals[c] = float(sc["rho_avg"])
             elif c == "press":
-                # mean EOS pressure over alive particles (thermo `press` for
-                # a particle fluid: no virial wall terms)
-                dev = jax.device_get(state)
-                alive = (dev.type > 0) & dev.owned
-                t = np.asarray(jax.device_get(self.tables.rho0))
-                b = np.asarray(jax.device_get(self.tables.tait_b))
-                rho0 = t[dev.type[alive]]
-                bb = b[dev.type[alive]]
-                q = dev.rho[alive] / np.maximum(rho0, 1e-30)
-                vals[c] = float(np.mean(bb * (q**7 - 1.0))) if alive.any() else 0.0
+                from tpusph.runner import thermo_pressure
+                ideal = bool(self.spec.ideal_gas and not self.spec.tait)
+                vals[c] = float(jax.device_get(
+                    thermo_pressure(state, self.tables, ideal)))
             elif c in self.custom_columns:
                 vals[c] = float(self.custom_columns[c](self, sc, istep))
             else:
@@ -451,35 +467,85 @@ class Simulation:
         if self.mesh is not None:
             self.aux = runner.aux
 
+        # Output scheduler (src/output.cpp — SURVEY §2.8): thermo, each dump,
+        # and the periodic restart fire at their OWN cadence. The run block is
+        # chunked by the gcd of all active cadences so every output step is a
+        # host-visible chunk boundary.
+        start = self.step_count
+        last = start + nsteps
+        cadences = [self.thermo_every] + [d.every for d in self.dumps]
+        if self.restart_schedule is not None:
+            cadences.append(self.restart_schedule.every)
+        cadences = [c for c in cadences if c and c > 0]
+        every = math.gcd(*cadences) if cadences else nsteps
+        output_time = [0.0]
+
         def callback(state, istep):
+            t0 = time.perf_counter()
             self._check_overflow()
-            if tw is not None:
+            if tw is not None and (istep % max(self.thermo_every, 1) == 0
+                                   or istep in (start, last)):
                 tw.write_line(self._thermo_values(state, istep))
             for d in self.dumps:
                 d.maybe_write(self, state, istep)
+            rs = self.restart_schedule
+            if rs is not None and istep > start and istep % rs.every == 0:
+                from tpusph.io.restart import write_restart
+                path = rs.path_template.replace("*", str(istep))
+                # checkpoint the CURRENT state/step (sim counters only
+                # advance at run end)
+                self.state = state
+                saved = (self.step_count, self.time_acc)
+                self.step_count = istep
+                self.time_acc = saved[1] + (istep - saved[0]) * self.dt
+                write_restart(path, self)
+                self.step_count, self.time_acc = saved
+            output_time[0] += time.perf_counter() - t0
 
         if tw is not None:
             tw.write_header()
-            callback(self.state, self.step_count)
+        callback(self.state, start)
 
-        every = self.thermo_every if self.thermo_every > 0 else nsteps
         t0 = runner.timings["loop"]
         self.state, self.aux = runner.run(
             self.state, self.tables, self.dt, nsteps,
-            istep0=self.step_count, every=every,
+            istep0=start, every=every,
             callback=callback, aux=self.aux)
         loop_time = runner.timings["loop"] - t0
 
-        sc = jax.device_get(thermo_scalars(self.state))
-        if tw is not None:
+        if tw is not None and (self.screen or self.log_path):
+            sc = jax.device_get(thermo_scalars(self.state))
             tw.write_loop_summary(loop_time, jax.device_count(), nsteps,
                                   int(sc["natoms"]),
-                                  breakdown={"Pair": loop_time})
+                                  breakdown=self._timer_breakdown(
+                                      runner, loop_time, output_time[0]))
         self.time_acc += nsteps * self.dt
         self.step_count += nsteps
         return self
 
-    def _measured_cell_cap(self, cutoff: float, skin: float) -> int:
+    def _timer_breakdown(self, runner, loop_time: float,
+                         output_time: float) -> Dict[str, float]:
+        """Truthful Pair/Neigh/Modify/Output split for the run-end Timer
+        table (src/timer.cpp parity — SURVEY §5.1). Output is measured on the
+        host; the device remainder is split by per-phase fractions measured
+        once per compiled runner (Runner.phase_fractions). In dist mode the
+        phases run inside one shard_map region and can't be timed separately
+        — the remainder is reported as Pair (the dominant phase)."""
+        out = min(output_time, loop_time)
+        rest = max(loop_time - out, 0.0)
+        breakdown = {"Output": out}
+        if self.mesh is None and self.timer_detail:
+            frac = runner.phase_fractions(self.state, self.tables, self.dt,
+                                          aux=self.aux, istep=self.step_count)
+            breakdown["Pair"] = rest * frac.get("Pair", 1.0)
+            breakdown["Neigh"] = rest * frac.get("Neigh", 0.0)
+            breakdown["Modify"] = rest * frac.get("Modify", 0.0)
+        else:
+            breakdown["Pair"] = rest
+        return breakdown
+
+    def _measured_cell_cap(self, cutoff: float, skin: float,
+                           frac: float | None = None) -> int:
         """Cell capacity from the MEASURED occupancy histogram of the current
         configuration (+25% headroom, 8-aligned). Tight caps are the main
         pair-sweep cost lever (cost scales with cap); the runtime overflow
@@ -500,7 +566,8 @@ class Simulation:
         max_occ = int(np.bincount(flat).max()) if len(flat) else 8
         # headroom over the MEASURED max (overflow aborts loudly if dynamics
         # outgrow it); phase change inserts particles -> more
-        frac = 1.6 if self.phase_change_config else 1.15
+        if frac is None:
+            frac = 1.6 if self.phase_change_config else 1.15
         return int(math.ceil((max_occ * frac + 2) / 8.0) * 8)
 
     def _check_overflow(self):
@@ -529,9 +596,8 @@ class Simulation:
         order = np.argsort(dev.tag[alive], kind="stable")
         if field == "t":
             arr = dev.e / np.where(dev.cv > 0, dev.cv, 1.0)
-        elif field == "x" and self.mesh is not None:
-            from tpusph.dist import globalize_positions
-            arr = globalize_positions(dev.x, self.brick_spec, self.local_cap)
+        elif field == "x":
+            arr = self._host_x(dev)
         else:
             arr = getattr(dev, field)
         return np.asarray(arr)[alive][order]

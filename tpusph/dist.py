@@ -147,6 +147,8 @@ class DistBackend:
     """Backend for the Runner in dist mode: wraps a per-brick
     CellGridBackend; prepare() is the comm stack."""
 
+    is_dist = True  # hooks branch on this (e.g. global tag minting)
+
     def __init__(self, spec: BrickSpec, box_global: Box, dim: int,
                  cutoff: float, skin: float, cap: int | None = None,
                  avg_per_cell: float | None = None, rebuild_every: int = 0,
@@ -230,7 +232,7 @@ class DistBackend:
 
         return jax.lax.cond(
             trigger,
-            lambda sa: self._rebuild(sa[0]),
+            lambda sa: self._rebuild(sa[0], prev_overflow=sa[1].overflow),
             lambda sa: self._forward_comm(*sa),
             (state, aux))
 
@@ -263,8 +265,10 @@ class DistBackend:
                       aux.ghost_left, aux.n_ghost_left, +1, st)
         return st, aux
 
-    def _rebuild(self, state: ParticleState):
-        """exchange + borders + sort (SURVEY §3.2 rebuild branch)."""
+    def _rebuild(self, state: ParticleState, prev_overflow=None):
+        """exchange + borders + sort (SURVEY §3.2 rebuild branch).
+        ``prev_overflow`` accumulates across rebuilds so the host check at
+        thermo cadence cannot miss an overflow from an earlier rebuild."""
         spec = self.spec
         ax = spec.axis_dim
         w = spec.width
@@ -364,7 +368,12 @@ class DistBackend:
             ghost_left=rows_from_slots(extra["slot_l"]),
             ghost_right=rows_from_slots(extra["slot_r"]),
             n_ghost_left=gcnt_l, n_ghost_right=gcnt_r,
-            overflow=mov_l + mov_r + sov_l + sov_r + ov1 + ov2 + ov3 + ov4,
+            # fold in the per-brick cell-grid overflow too (a dense brick
+            # cell beyond cap silently drops pairs — must surface, CLAUDE.md
+            # invariant), plus any overflow carried from earlier rebuilds
+            overflow=(mov_l + mov_r + sov_l + sov_r + ov1 + ov2 + ov3 + ov4
+                      + grid_data.overflow
+                      + (0 if prev_overflow is None else prev_overflow)),
         )
         return state, aux
 

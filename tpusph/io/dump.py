@@ -40,7 +40,9 @@ class Dump:
     def _column_data(self, sim, dev, order, box):
         lo = np.asarray(box.lo)
         length = np.asarray(box.hi) - lo
-        x = np.asarray(dev.x)[order]
+        # in dist mode dev.x is brick-local along the decomposition axis —
+        # dumps must write global coordinates (CLAUDE.md invariant)
+        x = sim._host_x(dev)[order]
         cols = {}
         for c in self.columns:
             if c == "id":
@@ -80,7 +82,7 @@ class Dump:
         box = sim.box
         if self.style == "xyz":
             # dump_xyz.cpp format: natoms, comment, then "type x y z" rows
-            x = np.asarray(dev.x)[order]
+            x = sim._host_x(dev)[order]
             t = np.asarray(dev.type)[order]
             f.write(f"{len(order)}\n")
             f.write(f"Atoms. Timestep: {istep}\n")

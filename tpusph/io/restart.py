@@ -1,26 +1,31 @@
 """Checkpoint / resume — the write_restart / read_restart equivalent
 (src/write_restart.cpp, read_restart.cpp — SURVEY.md §3.4, §5.4).
 
-Format: a single .npz with the full particle pool (every meso field
-including vest), box, step counter, dt, and the physics spec/tables — enough
-for exact continuation modulo reneighboring, same guarantee as the
-reference. Orbax-based async checkpointing for multi-host runs layers on
-top of the same payload (tpusph.io.restart_orbax).
+Format: a single .npz with the COMPACT particle set (alive owned particles
+in global coordinates), box, step counter, dt, and the physics spec/tables.
+Continuation is exact modulo reneighboring — the same guarantee as the
+reference — because every derived field (f, drho, de, vest) is recomputed by
+Verlet::setup from (x, v, rho, e) before its first use. Storing the compact
+set (not the device pool) makes checkpoints mesh-independent: a run can
+resume on a different brick count, which the reference cannot do.
+Orbax-based async checkpointing for multi-host runs layers on top of the
+same payload (tpusph.io.restart_orbax).
 """
 
 from __future__ import annotations
 
-import dataclasses
 import json
 from typing import NamedTuple
 
-import jax
 import numpy as np
 
 from tpusph.params import PairTables, PhysicsSpec
-from tpusph.state import Box, ParticleState
+from tpusph.state import Box
 
-FORMAT_VERSION = 1
+FORMAT_VERSION = 2
+
+_STAGED_FIELDS = ("x", "v", "type", "rho", "e", "cv", "rmass", "tag",
+                  "mobile")
 
 
 class RestartSchedule(NamedTuple):
@@ -29,13 +34,11 @@ class RestartSchedule(NamedTuple):
 
 
 def write_restart(path: str, sim):
-    state = sim.state
-    if state is None:
-        sim._build_state()
-        state = sim.state
-    dev = jax.device_get(state)
-    payload = {f"state_{f.name}": np.asarray(getattr(dev, f.name))
-               for f in dataclasses.fields(ParticleState)}
+    import dataclasses
+    import jax
+    sim._pull_state()  # globalized, compact host copy of the current state
+    payload = {f"staged_{k}": np.asarray(sim._staged[k])
+               for k in _STAGED_FIELDS}
     tab = jax.device_get(sim.tables)
     for f in dataclasses.fields(PairTables):
         payload[f"tables_{f.name}"] = np.asarray(getattr(tab, f.name))
@@ -50,6 +53,7 @@ def write_restart(path: str, sim):
         periodic=list(sim.box.periodic),
         thermo_every=sim.thermo_every,
         thermo_columns=sim.thermo_columns,
+        capacity_pad=sim.capacity_pad,
     )
     payload["meta_json"] = np.frombuffer(
         json.dumps(meta).encode(), dtype=np.uint8)
@@ -57,23 +61,22 @@ def write_restart(path: str, sim):
 
 
 def read_restart(path: str, sim):
+    import dataclasses
+    import jax.numpy as jnp
     with np.load(path) as z:
         meta = json.loads(bytes(z["meta_json"]).decode())
         if meta["version"] != FORMAT_VERSION:
             raise ValueError(f"restart version {meta['version']} != "
                              f"{FORMAT_VERSION}")
-        state_kwargs = {}
-        for f in dataclasses.fields(ParticleState):
-            state_kwargs[f.name] = jax.numpy.asarray(z[f"state_{f.name}"])
+        staged = {k: np.asarray(z[f"staged_{k}"]) for k in _STAGED_FIELDS}
         tab_kwargs = {}
         for f in dataclasses.fields(PairTables):
-            tab_kwargs[f.name] = jax.numpy.asarray(z[f"tables_{f.name}"])
+            tab_kwargs[f.name] = jnp.asarray(z[f"tables_{f.name}"])
     spec_kw = dict(meta["spec"])
     # json turns tuples into lists; spec must stay hashable
     spec_kw["scalar_tables"] = tuple(spec_kw.get("scalar_tables", ()))
     sim.spec = PhysicsSpec(**spec_kw)
     sim.tables = PairTables(**tab_kwargs)
-    sim.state = ParticleState(**state_kwargs)
     sim.box = Box.create(meta["box_lo"], meta["box_hi"],
                          periodic=tuple(meta["periodic"]))
     sim.step_count = int(meta["step_count"])
@@ -81,17 +84,10 @@ def read_restart(path: str, sim):
     sim.dt = float(meta["dt"])
     sim.thermo_every = int(meta["thermo_every"])
     sim.thermo_columns = list(meta["thermo_columns"])
+    sim.capacity_pad = int(meta.get("capacity_pad", 0))
+    sim._staged = staged
+    sim.state = None   # rebuilt (and repartitioned, in dist mode) at next run
     sim.aux = None
     sim._runner = None
     sim._runner_key = None
-    # rebuild staging from the restored pool so set/group keep working
-    dev = jax.device_get(sim.state)
-    alive = (dev.type > 0) & dev.owned
-    sim._staged = dict(
-        x=np.asarray(dev.x[alive]), v=np.asarray(dev.v[alive]),
-        type=np.asarray(dev.type[alive]), rho=np.asarray(dev.rho[alive]),
-        e=np.asarray(dev.e[alive]), cv=np.asarray(dev.cv[alive]),
-        rmass=np.asarray(dev.rmass[alive]), tag=np.asarray(dev.tag[alive]),
-        mobile=np.asarray(dev.mobile[alive]),
-    )
-    sim._next_tag = int(dev.tag.max()) + 1 if alive.any() else 1
+    sim._next_tag = int(staged["tag"].max()) + 1 if len(staged["tag"]) else 1

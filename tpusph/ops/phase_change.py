@@ -176,7 +176,11 @@ def _apply_phase_change(state: ParticleState, tables: PairTables, istep,
     sel = eligible & (u < config.prob)
 
     if config.mode == "grow":
-        do = sel & (vcount > 0)
+        # in dist mode the nearest vapor may be a GHOST row: growing it would
+        # discard the transferred mass at the next rebuild while the liquid
+        # owner is still debited. Only grow owned targets; a skipped event
+        # re-fires once the owner side sees the pair (or after migration).
+        do = sel & (vcount > 0) & state.owned[jnp.clip(vnearest, 0, n - 1)]
         dm_add = jnp.zeros(n).at[vnearest].add(jnp.where(do, dm, 0.0))
         e_add = jnp.zeros(n).at[vnearest].add(
             jnp.where(do, carried_per_mass * dm, 0.0))
@@ -226,6 +230,12 @@ def _apply_phase_change(state: ParticleState, tables: PairTables, istep,
                             jnp.zeros(n)], axis=-1)
     new_x = state.x + config.insert_offset * offset
     max_tag = jnp.max(jnp.where(state.alive, state.tag, 0))
+    if getattr(backend, "is_dist", False):
+        # per-brick tag minting must stay globally unique: take the global
+        # max and stride by the pool capacity (bounds inserts per brick)
+        from tpusph.dist import AXIS
+        max_tag = jax.lax.pmax(max_tag, AXIS)
+        max_tag = max_tag + jax.lax.axis_index(AXIS) * n
     new_tag = (max_tag + 1 + sel_rank).astype(jnp.int32)
 
     def put(arr, vals):

@@ -35,6 +35,7 @@ class Runner:
         self.backend = backend
         self.end_of_step = end_of_step  # fix hook (phase change), jit-safe
         self.timings = {"loop": 0.0, "steps": 0}
+        self._phase_cache = None  # measured per-phase fractions (Timer parity)
 
         spec_ = spec
         box_ = box
@@ -106,6 +107,18 @@ class Runner:
         self.timings["steps"] += nsteps
         return state, aux
 
+    def phase_fractions(self, state, tables, dt, aux=None, istep: int = 0):
+        """Per-phase time fractions for the run-end Timer table (src/timer.cpp
+        parity — SURVEY §5.1). Measured once per compiled runner by timing
+        each phase as its own jitted call (the production loop is one fused
+        block), then cached: the relative split is stable across a run."""
+        if self._phase_cache is None:
+            phases = profile_step(self, state, tables, dt, aux=aux,
+                                  istep=istep, reps=1)
+            total = max(sum(phases.values()), 1e-30)
+            self._phase_cache = {k: v / total for k, v in phases.items()}
+        return self._phase_cache
+
 
 def profile_step(runner: "Runner", state: ParticleState, tables: PairTables,
                  dt: float, aux=None, istep: int = 0, reps: int = 5):
@@ -152,6 +165,27 @@ def profile_step(runner: "Runner", state: ParticleState, tables: PairTables,
 
 
 # -- global thermo reductions (Thermo::compute, MPI_Allreduce -> psum) -------
+
+@partial(jax.jit, static_argnames=("ideal_gas",))
+def thermo_pressure(state: ParticleState, tables: PairTables,
+                    ideal_gas: bool):
+    """Mean EOS pressure over alive owned particles — the `press` thermo
+    column for a particle fluid (no virial wall terms). On-device reduction:
+    one scalar transfer per thermo line, EOS matching the active pair style
+    (Tait or ideal gas — pair_terms.eos_pressure_over_rhosq forms)."""
+    alive = state.alive & state.owned
+    t = state.type
+    if ideal_gas:
+        gamma = tables.gas_gamma[t]
+        p = (gamma - 1.0) * state.rho * state.e \
+            / jnp.maximum(state.rmass, 1e-30)
+    else:
+        q = state.rho / jnp.maximum(tables.rho0[t], 1e-30)
+        q3 = q * q * q
+        p = tables.tait_b[t] * (q3 * q3 * q - 1.0)
+    n = jnp.maximum(jnp.sum(alive.astype(jnp.int32)), 1)
+    return jnp.sum(jnp.where(alive, p, 0.0)) / n
+
 
 @jax.jit
 def thermo_scalars(state: ParticleState):

@@ -316,10 +316,12 @@ class Interpreter:
         self.sim._pull_state()
         n = int(mask.sum())
         if mode == "set":
-            v = np.zeros((n, 3), np.float32)
+            # NULL means "leave this component unchanged" (velocity.cpp)
+            v = self.sim._staged["v"][mask].astype(np.float32).copy()
             for d in range(3):
                 tok = a[2 + d]
-                v[:, d] = 0.0 if tok == "NULL" else _num(tok)
+                if tok != "NULL":
+                    v[:, d] = _num(tok)
         elif mode == "create":
             # Maxwell-Boltzmann at temperature T (velocity.cpp create):
             # sigma^2 = kB T / m per component (kB = 1 in lj/si-raw units),
