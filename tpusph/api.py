@@ -482,6 +482,10 @@ class Simulation:
 
         def callback(state, istep):
             t0 = time.perf_counter()
+            # the run block DONATES the previous state buffer — repoint
+            # sim.state before any consumer (thermo vars, dumps, restart)
+            # dereferences the dead one
+            self.state = state
             self._check_overflow()
             if tw is not None and (istep % max(self.thermo_every, 1) == 0
                                    or istep in (start, last)):
@@ -492,9 +496,8 @@ class Simulation:
             if rs is not None and istep > start and istep % rs.every == 0:
                 from tpusph.io.restart import write_restart
                 path = rs.path_template.replace("*", str(istep))
-                # checkpoint the CURRENT state/step (sim counters only
+                # checkpoint at the CURRENT step (sim counters only
                 # advance at run end)
-                self.state = state
                 saved = (self.step_count, self.time_acc)
                 self.step_count = istep
                 self.time_acc = saved[1] + (istep - saved[0]) * self.dt

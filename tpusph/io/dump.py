@@ -16,13 +16,15 @@ import numpy as np
 class Dump:
     def __init__(self, id: str, style: str, every: int, path: str,
                  columns: Optional[List[str]] = None,
-                 computes: Optional[Dict[str, tuple]] = None):
+                 computes: Optional[Dict[str, tuple]] = None,
+                 var_context=None):
         self.id = id
         self.style = style
         self.every = every
         self.path = path
         self.columns = columns or ["id", "type", "xs", "ys", "zs"]
         self.computes = computes or {}
+        self.var_context = var_context  # Interpreter, for v_ atom variables
         self._file = None
         self._last_step = None
 
@@ -69,9 +71,36 @@ class Dump:
                     cols[c] = np.asarray(getattr(dev, field))[order]
             elif c in ("rho", "e", "cv"):
                 cols[c] = np.asarray(getattr(dev, c))[order]
+            elif c.startswith("v_") and self.var_context is not None:
+                from tpusph.script import AtomVariable
+                var = self.var_context.vars.get(c[2:])
+                if isinstance(var, AtomVariable):
+                    cols[c] = var.evaluate_atom(
+                        self.var_context, self._atom_fields(dev, order, x))
+                else:
+                    cols[c] = np.full(len(order),
+                                      self.var_context.var_value(c[2:]))
             else:
                 raise ValueError(f"dump column '{c}' unsupported")
         return cols
+
+    @staticmethod
+    def _atom_fields(dev, order, x) -> Dict[str, np.ndarray]:
+        """Per-atom env for atom-style variable expressions (globalized x)."""
+        v = np.asarray(dev.v)[order]
+        f = np.asarray(dev.f)[order]
+        cv = np.asarray(dev.cv)[order]
+        e = np.asarray(dev.e)[order]
+        return dict(
+            x=x[:, 0], y=x[:, 1], z=x[:, 2],
+            vx=v[:, 0], vy=v[:, 1], vz=v[:, 2],
+            fx=f[:, 0], fy=f[:, 1], fz=f[:, 2],
+            rho=np.asarray(dev.rho)[order], e=e, cv=cv,
+            temp=e / np.where(cv > 0, cv, 1.0),
+            mass=np.asarray(dev.rmass)[order],
+            type=np.asarray(dev.type)[order],
+            id=np.asarray(dev.tag)[order],
+        )
 
     def write(self, sim, state, istep: int):
         f = self._ensure_file()

@@ -11,7 +11,9 @@ Unknown commands raise; commands that exist in LAMMPS but are no-ops here
 
 from __future__ import annotations
 
+import ast
 import math
+import operator
 import re
 import warnings
 from typing import Dict, List, Optional
@@ -36,35 +38,142 @@ def _num(tok: str) -> float:
     return float(tok)
 
 
+# ---------------------------------------------------------------------------
+# Expression evaluation (src/variable.cpp subset) — a whitelisted-AST walker,
+# NOT eval(): only literals, names bound in the env, arithmetic/comparison/
+# boolean operators, and the math-function whitelist can appear. Works on
+# scalars (equal-style) and numpy arrays (atom-style) alike.
+# ---------------------------------------------------------------------------
+
+_BINOPS = {ast.Add: operator.add, ast.Sub: operator.sub,
+           ast.Mult: operator.mul, ast.Div: operator.truediv,
+           ast.Mod: operator.mod, ast.Pow: operator.pow,
+           ast.FloorDiv: operator.floordiv}
+_CMPOPS = {ast.Eq: operator.eq, ast.NotEq: operator.ne,
+           ast.Lt: operator.lt, ast.LtE: operator.le,
+           ast.Gt: operator.gt, ast.GtE: operator.ge}
+_FUNCS = {
+    "sqrt": np.sqrt, "exp": np.exp, "ln": np.log, "log": np.log10,
+    "abs": np.abs, "sin": np.sin, "cos": np.cos, "tan": np.tan,
+    "asin": np.arcsin, "acos": np.arccos, "atan": np.arctan,
+    "atan2": np.arctan2, "floor": np.floor, "ceil": np.ceil,
+    "round": np.round, "pow": np.power,
+}
+
+
+def safe_eval(expr: str, env: Dict[str, object]):
+    """Evaluate a LAMMPS variable expression against ``env``. LAMMPS
+    spellings are normalized first: ``^`` is power, ``&&``/``||``/``!``
+    are boolean ops; comparisons/booleans yield 1.0/0.0."""
+    expr = expr.replace("^", "**").replace("&&", " and ") \
+               .replace("||", " or ").replace("!=", "<>")
+    # LAMMPS unary '!' -> '~' (same precedence slot; walker treats
+    # ast.Invert as logical not)
+    expr = expr.replace("!", "~").replace("<>", "!=")
+
+    def ev(n):
+        if isinstance(n, ast.Expression):
+            return ev(n.body)
+        if isinstance(n, ast.Constant):
+            if isinstance(n.value, (int, float)):
+                return n.value
+            raise ScriptError(f"literal {n.value!r} not allowed")
+        if isinstance(n, ast.Name):
+            if n.id in env:
+                return env[n.id]
+            raise ScriptError(f"unknown name '{n.id}'")
+        if isinstance(n, ast.BinOp) and type(n.op) in _BINOPS:
+            return _BINOPS[type(n.op)](ev(n.left), ev(n.right))
+        if isinstance(n, ast.UnaryOp):
+            if isinstance(n.op, ast.USub):
+                return -ev(n.operand)
+            if isinstance(n.op, ast.UAdd):
+                return ev(n.operand)
+            if isinstance(n.op, (ast.Not, ast.Invert)):
+                return np.where(np.asarray(ev(n.operand)) != 0, 0.0, 1.0)
+        if isinstance(n, ast.Compare):
+            cur, out = ev(n.left), None
+            for op, comp in zip(n.ops, n.comparators):
+                nxt = ev(comp)
+                r = _CMPOPS[type(op)](cur, nxt)
+                out = r if out is None else np.logical_and(out, r)
+                cur = nxt
+            return np.multiply(out, 1.0)
+        if isinstance(n, ast.BoolOp):
+            vals = [np.asarray(ev(v)) != 0 for v in n.values]
+            out = vals[0]
+            for v in vals[1:]:
+                out = (np.logical_and(out, v) if isinstance(n.op, ast.And)
+                       else np.logical_or(out, v))
+            return np.multiply(out, 1.0)
+        if isinstance(n, ast.Call) and isinstance(n.func, ast.Name) \
+                and n.func.id in _FUNCS and not n.keywords:
+            return _FUNCS[n.func.id](*[ev(a) for a in n.args])
+        raise ScriptError(f"expression element {ast.dump(n)} not allowed")
+
+    try:
+        tree = ast.parse(expr, mode="eval")
+        return ev(tree)
+    except ScriptError:
+        raise
+    except Exception as err:
+        raise ScriptError(f"cannot evaluate expression '{expr}': {err}") \
+            from err
+
+
 class EqualVariable:
     """equal-style variable: an expression re-evaluated on read
     (src/variable.cpp subset: arithmetic, math funcs, other variables,
     thermo keywords step/time/dt/atoms)."""
+
+    style = "equal"
 
     def __init__(self, expr: str):
         self.expr = expr
 
     def evaluate(self, interp: "Interpreter") -> float:
         expr = interp.substitute(self.expr)
-        # v_name references
-        expr = re.sub(r"\bv_(\w+)", lambda m: repr(interp.var_value(m.group(1))), expr)
         sim = interp.sim
         env = {
             "step": sim.step_count, "time": sim.time_acc, "dt": sim.dt,
-            "atoms": sim.natoms,
-            "PI": math.pi,
-            "sqrt": math.sqrt, "exp": math.exp, "ln": math.log,
-            "log": math.log10, "abs": abs,
-            "sin": math.sin, "cos": math.cos, "tan": math.tan,
-            "floor": math.floor, "ceil": math.ceil, "round": round,
-            "pow": pow,
+            "atoms": sim.natoms, "PI": math.pi,
         }
-        expr = expr.replace("^", "**")
+        # v_name references resolve through the interpreter (may recurse)
+        for name in set(re.findall(r"\bv_(\w+)\b", expr)):
+            env["v_" + name] = interp.var_value(name)
         try:
-            return float(eval(expr, {"__builtins__": {}}, env))  # noqa: S307
-        except Exception as err:
+            return float(safe_eval(expr, env))
+        except (TypeError, ValueError) as err:
             raise ScriptError(f"cannot evaluate variable expression "
                               f"'{self.expr}': {err}") from err
+
+
+class AtomVariable:
+    """atom-style variable: a per-atom vector expression over the particle
+    fields (x, y, z, vx..., rho, e, cv, mass, type, id) — usable as a
+    ``v_name`` dump column (src/variable.cpp atom style)."""
+
+    style = "atom"
+
+    def __init__(self, expr: str):
+        self.expr = expr
+
+    def evaluate_atom(self, interp: "Interpreter",
+                      fields: Dict[str, np.ndarray]) -> np.ndarray:
+        expr = interp.substitute(self.expr)
+        sim = interp.sim
+        env = dict(fields)
+        env.update(step=sim.step_count, time=sim.time_acc, dt=sim.dt,
+                   atoms=sim.natoms, PI=math.pi)
+        for name in set(re.findall(r"\bv_(\w+)\b", expr)):
+            v = interp.vars.get(name)
+            if isinstance(v, AtomVariable):
+                env["v_" + name] = v.evaluate_atom(interp, fields)
+            else:
+                env["v_" + name] = interp.var_value(name)
+        out = safe_eval(expr, env)
+        n = len(next(iter(fields.values()))) if fields else 0
+        return np.broadcast_to(np.asarray(out, np.float64), (n,))
 
 
 class Interpreter:
@@ -128,6 +237,9 @@ class Interpreter:
         if name not in self.vars:
             raise ScriptError(f"undefined variable '{name}'")
         v = self.vars[name]
+        if isinstance(v, AtomVariable):
+            raise ScriptError(f"atom-style variable '{name}' is per-atom — "
+                              "use it as a dump column, not a scalar")
         if isinstance(v, EqualVariable):
             return v.evaluate(self)
         return v
@@ -501,6 +613,8 @@ class Interpreter:
         name, kind = a[0], a[1]
         if kind == "equal":
             self.vars[name] = EqualVariable(" ".join(a[2:]))
+        elif kind == "atom":
+            self.vars[name] = AtomVariable(" ".join(a[2:]))
         elif kind == "index":
             # LAMMPS: index vars do NOT overwrite an existing definition —
             # that's how `-var name value` overrides a script default
@@ -521,7 +635,8 @@ class Interpreter:
         did, gid, style, every, path = a[0], a[1], a[2], int(a[3]), a[4]
         cols = list(a[5:]) if style == "custom" else None
         self.sim.dumps.append(Dump(did, style, every, path, cols,
-                                   computes=self.computes))
+                                   computes=self.computes,
+                                   var_context=self))
 
     def cmd_undump(self, a):
         self.sim.dumps = [d for d in self.sim.dumps if d.id != a[0]]
