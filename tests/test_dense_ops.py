@@ -174,3 +174,27 @@ def test_surface_tension_momentum_conservation_and_interface_only():
     assert np.asarray(jnp.max(jnp.abs(cg))) > 0.0
     f, _, _ = dense.force(st, tables, spec, box, cg=cg)
     np.testing.assert_allclose(np.asarray(jnp.sum(f, axis=0)), 0.0, atol=2e-4)
+
+
+def test_lj_eos_values_and_momentum():
+    """sph/lj: the vdW-form LJ EOS (pair_terms.LJ_VDW_A/B) gives
+    P = rho T/(1-b rho) - a rho^2 with T = (gamma-1) e/m; pair forces
+    conserve momentum (pair_sph_lj.cpp capability — SURVEY §2.2)."""
+    from tpusph.ops.pair_terms import (LJ_VDW_A, LJ_VDW_B,
+                                       eos_pressure_over_rhosq)
+
+    spec = PhysicsSpec(dim=3, lj=True, tait=False)
+    rho, e, m, gamma = 0.2, 1.5, 1.0, 1.4
+    _, p = eos_pressure_over_rhosq(
+        jnp.float32(rho), jnp.float32(e), jnp.float32(m),
+        jnp.float32(1.0), jnp.float32(0.0), jnp.float32(gamma), spec)
+    t = (gamma - 1.0) * e / m
+    expect = rho * t / (1.0 - LJ_VDW_B * rho) - LJ_VDW_A * rho * rho
+    assert float(p) == pytest.approx(expect, rel=1e-6)
+
+    st, box = make_random_state(n=48, seed=3)
+    tables = PairTables.zeros(1)
+    tables.set_lj(1, 1, viscosity=0.5, h=1.0)
+    f, drho, de = dense.force(st, tables, spec, box)
+    np.testing.assert_allclose(np.asarray(jnp.sum(f, axis=0)), 0.0, atol=1e-4)
+    assert np.isfinite(np.asarray(f)).all()

@@ -152,6 +152,7 @@ def test_pallas_morris_and_idealgas():
     for spec in (
         PhysicsSpec(dim=3, kernel=kernels.LUCY, morris=True, tait=False),
         PhysicsSpec(dim=3, kernel=kernels.LUCY, ideal_gas=True, tait=False),
+        PhysicsSpec(dim=3, kernel=kernels.LUCY, lj=True, tait=False),
     ):
         f_c, drho_c, de_c = cgb.force(st_s, tables, spec, box, aux=data)
         f_p, drho_p, de_p = pb.force(st_s, tables, spec, box, aux=data)

@@ -200,6 +200,9 @@ class Simulation:
     def pair_idealgas(self):
         self.spec = self.spec._replace(ideal_gas=True, tait=False)
 
+    def pair_lj(self):
+        self.spec = self.spec._replace(lj=True, tait=False)
+
     def pair_rhosum(self, every: int = 1):
         self.spec = self.spec._replace(rhosum_every=every)
 
@@ -330,7 +333,8 @@ class Simulation:
             if sub.size and np.all(sub == sub.flat[0]):
                 scalar.append(name)
         active_cuts = []
-        if self.spec.tait or self.spec.morris or self.spec.ideal_gas:
+        if self.spec.tait or self.spec.morris or self.spec.ideal_gas \
+                or self.spec.lj:
             active_cuts.append("cut")
         if self.spec.heatconduction:
             active_cuts.append("cut_heat")
@@ -426,9 +430,8 @@ class Simulation:
                 vals[c] = float(sc["rho_avg"])
             elif c == "press":
                 from tpusph.runner import thermo_pressure
-                ideal = bool(self.spec.ideal_gas and not self.spec.tait)
                 vals[c] = float(jax.device_get(
-                    thermo_pressure(state, self.tables, ideal)))
+                    thermo_pressure(state, self.tables, self.spec)))
             elif c in self.custom_columns:
                 vals[c] = float(self.custom_columns[c](self, sc, istep))
             else:

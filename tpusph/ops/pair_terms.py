@@ -40,6 +40,16 @@ from tpusph.params import PairTables, PhysicsSpec
 
 EPS_CG = 1e-6  # |colorgradient| floor for the capillary stress
 
+# sph/lj EOS (pair_sph_lj.cpp — SURVEY §2.2): LJ-based gas pressure. We use
+# the van-der-Waals form calibrated to the LJ critical point (Tc* = 1.312,
+# rhoc* = 0.316 in reduced units, kB = m = 1): b = 1/(3 rhoc*),
+# a = (9/8) Tc*/rhoc*. Parameter-free like the reference's fitted EOS;
+# reduces toward ideal-gas at low density. T is derived from the internal
+# energy via the gas_gamma table, as in sph/idealgas.
+LJ_VDW_A = 4.6709
+LJ_VDW_B = 1.0549
+LJ_DENOM_FLOOR = 0.05  # (1 - b rho) floor: keeps P finite past packing
+
 # which tables the force/cg sweeps need, by arity
 PAIR_TABLES_2D = ("cut", "visc", "heat_D", "cut_heat", "sigma", "cut_tension")
 PAIR_TABLES_1D = ("rho0", "tait_b", "c0", "gas_gamma", "color")
@@ -90,15 +100,28 @@ def gather_fields(state, idx) -> Dict[str, jnp.ndarray]:
 
 def eos_pressure_over_rhosq(rho, e, rmass, rho0, tait_b, gamma,
                             spec: PhysicsSpec):
-    """P/rho^2 for the enabled EOS (Tait or ideal gas). Inputs pre-sanitized
-    (rho > 0 on dead slots is the caller's job)."""
-    if spec.ideal_gas and not spec.tait:
+    """P/rho^2 for the enabled EOS (Tait, ideal gas, or LJ). Inputs
+    pre-sanitized (rho > 0 on dead slots is the caller's job)."""
+    if spec.lj:
+        t = (gamma - 1.0) * e / rmass
+        denom = jnp.maximum(1.0 - LJ_VDW_B * rho, LJ_DENOM_FLOOR)
+        p = rho * t / denom - LJ_VDW_A * rho * rho
+    elif spec.ideal_gas and not spec.tait:
         p = (gamma - 1.0) * rho * e / rmass
     else:
         q = rho / rho0
         q3 = q * q * q
         p = tait_b * (q3 * q3 * q - 1.0)
     return p / (rho * rho), p
+
+
+def lj_sound_speed(rho, e, rmass, gamma):
+    """c = sqrt(max(gamma T/(1-b rho)^2 - 2 a rho, 0)) — the isothermal vdW
+    stiffness with the adiabatic gamma factor, clamped past the spinodal."""
+    t = (gamma - 1.0) * e / rmass
+    denom = jnp.maximum(1.0 - LJ_VDW_B * rho, LJ_DENOM_FLOOR)
+    return jnp.sqrt(jnp.maximum(gamma * t / (denom * denom)
+                                - 2.0 * LJ_VDW_A * rho, 0.0))
 
 
 def rho_summation_pair(pj, r, cut_ij, mask, spec: PhysicsSpec):
@@ -155,7 +178,7 @@ def force_pair(pi, pj, dx, rsq, mask, coefs, spec: PhysicsSpec,
     dv = pi["vest"] - pj["vest"]
     dvdr = jnp.sum(dv * dx, axis=-1)
 
-    if spec.tait or spec.morris or spec.ideal_gas:
+    if spec.tait or spec.morris or spec.ideal_gas or spec.lj:
         cut_ij = coefs["cut"]
         live = mask & (rsq < cut_ij * cut_ij) & (cut_ij > 0.0)
         wfd = jnp.where(live, wfd_fn(r, jnp.maximum(cut_ij, 1e-30)), 0.0)
@@ -187,7 +210,11 @@ def force_pair(pi, pj, dx, rsq, mask, coefs, spec: PhysicsSpec,
             mu = h_ij * dvdr / (rsq + 0.01 * h_ij * h_ij)
             ci = coefs["c0_i"]
             cj = coefs["c0_j"]
-            if spec.ideal_gas and not spec.tait:
+            if spec.lj:
+                gi, gj = coefs["gas_gamma_i"], coefs["gas_gamma_j"]
+                ci = lj_sound_speed(rho_i, pi["e"], m_i, gi)
+                cj = lj_sound_speed(rho_j, pj["e"], m_j, gj)
+            elif spec.ideal_gas and not spec.tait:
                 # idealgas style: c = sqrt(gamma(gamma-1) e/m)
                 gi, gj = coefs["gas_gamma_i"], coefs["gas_gamma_j"]
                 ci = jnp.sqrt(jnp.maximum(gi * (gi - 1.0) * pi["e"] / m_i, 0.0))

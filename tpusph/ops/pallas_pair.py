@@ -336,11 +336,18 @@ def make_column_kernel(cg: ColumnGrid, spec: PhysicsSpec, ntypes: int,
             dv2 = irow(RVZ) - jrow(RVZ)
             dvdr = dv0 * dx0 + dv1 * dx1 + dv2 * dx2
 
-            if spec.tait or spec.morris or spec.ideal_gas:
+            if spec.tait or spec.morris or spec.ideal_gas or spec.lj:
                 cut, live, wfd, rho_i, rho_j, mi, mj = term_ctx("cut")
 
                 def eos(rho, e, rmass, rho0, b, gamma):
-                    if spec.ideal_gas and not spec.tait:
+                    if spec.lj:
+                        # vdW-form LJ EOS (pair_terms.LJ_VDW_A/B)
+                        from tpusph.ops import pair_terms as _pt
+                        t = (gamma - 1.0) * e / rmass
+                        denom = jnp.maximum(1.0 - _pt.LJ_VDW_B * rho,
+                                            _pt.LJ_DENOM_FLOOR)
+                        p = rho * t / denom - _pt.LJ_VDW_A * rho * rho
+                    elif spec.ideal_gas and not spec.tait:
                         p = (gamma - 1.0) * rho * e / rmass
                     else:
                         q = rho / rho0
@@ -370,7 +377,13 @@ def make_column_kernel(cg: ColumnGrid, spec: PhysicsSpec, ntypes: int,
                     mu = h_ij * dvdr / (rsq + 0.01 * h_ij * h_ij)
                     ci = ci_1d["c0"]
                     cj = cj_1d("c0")
-                    if spec.ideal_gas and not spec.tait:
+                    if spec.lj:
+                        from tpusph.ops.pair_terms import lj_sound_speed
+                        gi = ci_1d["gas_gamma"]
+                        gj = cj_1d("gas_gamma")
+                        ci = lj_sound_speed(rho_i, irow(RE), mi, gi)
+                        cj = lj_sound_speed(rho_j, jrow(RE), mj, gj)
+                    elif spec.ideal_gas and not spec.tait:
                         gi = ci_1d["gas_gamma"]
                         gj = cj_1d("gas_gamma")
                         ci = jnp.sqrt(jnp.maximum(

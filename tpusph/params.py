@@ -40,6 +40,7 @@ class PhysicsSpec(NamedTuple):
     tait: bool = False           # sph/taitwater (artificial viscosity)
     morris: bool = False         # sph/taitwater/morris (laminar viscosity)
     ideal_gas: bool = False      # sph/idealgas
+    lj: bool = False             # sph/lj (vdW-form LJ gas EOS)
     heatconduction: bool = False  # sph/heatconduction[/phasechange]
     surface_tension: bool = False  # sph/colorgradient + sph/surfacetension
     phase_change: bool = False   # fix phase_change (evaporation)
@@ -151,6 +152,12 @@ class PairTables:
         self._set2("cut", i, j, h)
 
     def set_idealgas(self, i, j, viscosity, h):
+        self._set2("visc", i, j, viscosity)
+        self._set2("cut", i, j, h)
+
+    def set_lj(self, i, j, viscosity, h):
+        """pair_coeff i j sph/lj nu h — the EOS itself is parameter-free in
+        LJ reduced units (pair_terms.LJ_VDW_A/B)."""
         self._set2("visc", i, j, viscosity)
         self._set2("cut", i, j, h)
 

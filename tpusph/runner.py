@@ -166,23 +166,21 @@ def profile_step(runner: "Runner", state: ParticleState, tables: PairTables,
 
 # -- global thermo reductions (Thermo::compute, MPI_Allreduce -> psum) -------
 
-@partial(jax.jit, static_argnames=("ideal_gas",))
+@partial(jax.jit, static_argnames=("spec",))
 def thermo_pressure(state: ParticleState, tables: PairTables,
-                    ideal_gas: bool):
+                    spec: PhysicsSpec):
     """Mean EOS pressure over alive owned particles — the `press` thermo
     column for a particle fluid (no virial wall terms). On-device reduction:
     one scalar transfer per thermo line, EOS matching the active pair style
-    (Tait or ideal gas — pair_terms.eos_pressure_over_rhosq forms)."""
+    (pair_terms.eos_pressure_over_rhosq forms)."""
+    from tpusph.ops.pair_terms import eos_pressure_over_rhosq
     alive = state.alive & state.owned
     t = state.type
-    if ideal_gas:
-        gamma = tables.gas_gamma[t]
-        p = (gamma - 1.0) * state.rho * state.e \
-            / jnp.maximum(state.rmass, 1e-30)
-    else:
-        q = state.rho / jnp.maximum(tables.rho0[t], 1e-30)
-        q3 = q * q * q
-        p = tables.tait_b[t] * (q3 * q3 * q - 1.0)
+    rho = jnp.where(alive, state.rho, 1.0)
+    m = jnp.maximum(state.rmass, 1e-30)
+    _, p = eos_pressure_over_rhosq(rho, state.e, m, tables.rho0[t],
+                                   tables.tait_b[t], tables.gas_gamma[t],
+                                   spec)
     n = jnp.maximum(jnp.sum(alive.astype(jnp.int32)), 1)
     return jnp.sum(jnp.where(alive, p, 0.0)) / n
 

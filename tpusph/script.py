@@ -479,6 +479,8 @@ class Interpreter:
                 self.sim.pair_taitwater(morris=True)
             elif name == "sph/idealgas":
                 self.sim.pair_idealgas()
+            elif name == "sph/lj":
+                self.sim.pair_lj()
             elif name in ("sph/heatconduction", "sph/heatconduction/phasechange"):
                 self.sim.pair_heatconduction()
             elif name in ("sph/colorgradient",):
@@ -519,6 +521,8 @@ class Interpreter:
                                     viscosity=args[2], h=args[3])
                 elif style == "sph/idealgas":
                     t.set_idealgas(i, j, viscosity=args[0], h=args[1])
+                elif style == "sph/lj":
+                    t.set_lj(i, j, viscosity=args[0], h=args[1])
                 elif style in ("sph/heatconduction",
                                "sph/heatconduction/phasechange"):
                     t.set_heatconduction(i, j, d=args[0], h=args[1])
