@@ -77,25 +77,42 @@ def build_bench_sim(n_particles: int, dim: int = 3, multiphase: bool = True,
     return sim
 
 
+def _rebuild_count(sim) -> int:
+    aux = sim.aux
+    if aux is not None and hasattr(aux, "nbuilds"):
+        import jax
+        return int(np.sum(np.asarray(jax.device_get(aux.nbuilds))))
+    return -1
+
+
 def run_bench(n_particles: int = 1_000_000, n_steps: int = 50, dim: int = 3,
               multiphase: bool = True, backend: str = "auto",
-              warmup_steps: int = 5) -> dict:
+              warmup_steps: int = 5, n_windows: int = 3) -> dict:
+    """Median of ``n_windows`` timed windows of ``n_steps`` each, after one
+    warmup window with the SAME chunk size (nsteps is a static jit arg: a
+    different chunk would recompile inside the timed region). Rebuild counts
+    per window are reported so the number is interpretable — a window that
+    rebuilt more often is honestly slower, not noise."""
     import jax
 
     sim = build_bench_sim(n_particles, dim=dim, multiphase=multiphase,
                           backend=backend)
     n = sim.natoms
 
-    # warmup with the SAME chunk size as the timed run (nsteps is a static
-    # jit arg: a different chunk would recompile inside the timed region)
-    sim.run(n_steps)
+    sim.run(n_steps)  # warmup: compiles the run block + first rebuilds
     jax.block_until_ready(sim.state.x)
 
-    t0 = time.perf_counter()
-    sim.run(n_steps)
-    jax.block_until_ready(sim.state.x)
-    dt_wall = time.perf_counter() - t0
+    walls, rebuilds = [], []
+    for _ in range(n_windows):
+        nb0 = _rebuild_count(sim)
+        t0 = time.perf_counter()
+        sim.run(n_steps)
+        jax.block_until_ready(sim.state.x)
+        walls.append(time.perf_counter() - t0)
+        nb1 = _rebuild_count(sim)
+        rebuilds.append(nb1 - nb0 if nb0 >= 0 and nb1 >= 0 else -1)
 
+    dt_wall = float(np.median(walls))
     psps = n * n_steps / dt_wall
     return {
         "metric": f"particle-steps/sec/chip @ {n} particles "
@@ -103,8 +120,13 @@ def run_bench(n_particles: int = 1_000_000, n_steps: int = 50, dim: int = 3,
                   f"backend={backend})",
         "value": round(psps, 1),
         "unit": "particle-steps/s",
+        # vs_baseline divides by an ESTIMATED reference single-node LAMMPS
+        # CPU throughput (5e7 p-s/s) — the reference publishes no SPH
+        # numbers (BASELINE.json "published": {}).
         "vs_baseline": round(psps / BASELINE_NODE_PSPS, 6),
         "wall_s": round(dt_wall, 3),
+        "windows_s": [round(w, 3) for w in walls],
+        "rebuilds_per_window": rebuilds,
         "steps": n_steps,
         "particles": int(n),
         "device": str(jax.devices()[0]),

@@ -93,6 +93,7 @@ class GridData:
     rank: jax.Array       # (N,) i32 index within own cell
     x_ref: jax.Array      # (N, 3) positions at build time (skin trigger)
     overflow: jax.Array   # (1,) i32 particles beyond cap in any cell (dropped!)
+    nbuilds: jax.Array    # (1,) i32 cumulative rebuild count (bench/thermo stat)
 
 
 def cell_coords(x: jax.Array, geom: GridGeometry) -> jax.Array:
@@ -111,7 +112,7 @@ def flat_cell_id(coords: jax.Array, geom: GridGeometry) -> jax.Array:
     return (coords[..., 0] * ncy + coords[..., 1]) * ncz + coords[..., 2]
 
 
-def build(state: ParticleState, geom: GridGeometry, extra=None):
+def build(state: ParticleState, geom: GridGeometry, extra=None, nbuilds=None):
     """Sort particles by cell id and build the cell index (Neighbor::build +
     the atom sort). Dead slots get the sentinel cell (= total_cells) so they
     sort to the end and never appear as candidates.
@@ -137,8 +138,11 @@ def build(state: ParticleState, geom: GridGeometry, extra=None):
                      rank,
                      jnp.arange(n, dtype=jnp.int32) - starts[ncells])
     overflow = jnp.sum(jnp.maximum(counts - geom.cap, 0))[None]
+    if nbuilds is None:
+        nbuilds = jnp.zeros(1, jnp.int32)
     data = GridData(cell_id=cid, starts=starts, counts=counts,
-                    rank=rank, x_ref=state.x, overflow=overflow)
+                    rank=rank, x_ref=state.x, overflow=overflow,
+                    nbuilds=nbuilds + 1)
     if extra is not None:
         return state, data, extra
     return state, data

@@ -68,7 +68,7 @@ class CellGridBackend:
 
         def do_build(s):
             s = dataclasses.replace(s, x=box.wrap(s.x))
-            return gridlib.build(s, self.geom)
+            return gridlib.build(s, self.geom, nbuilds=aux.nbuilds)
 
         return jax.lax.cond(trigger, do_build, lambda s: (s, aux), state)
 
