@@ -41,7 +41,11 @@ def test_droplet_case():
 def test_bubble_rise_case():
     sim = run_case("cases/bubble_rise/in.bubble_rise", var={"dx": "0.08"})
     assert sim.spec.phase_change and sim.spec.gravity
-    assert sim.spec.surface_tension and sim.spec.heatconduction
+    # the REAL /phasechange conduction variant, not an alias to plain
+    # conduction, with T_sat pinned on the liquid/vapor cross pair
+    assert sim.spec.surface_tension and sim.spec.heat_phasechange
+    assert not sim.spec.heatconduction
+    assert float(np.asarray(sim.tables.tsat)[1, 2]) == 2.0
     assert np.isfinite(sim.get("x")).all()
     assert (sim.get("type") == 2).sum() > 0
 

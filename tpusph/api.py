@@ -206,8 +206,14 @@ class Simulation:
     def pair_rhosum(self, every: int = 1):
         self.spec = self.spec._replace(rhosum_every=every)
 
-    def pair_heatconduction(self):
-        self.spec = self.spec._replace(heatconduction=True)
+    def pair_heatconduction(self, phasechange: bool = False):
+        """sph/heatconduction, or the fork's /phasechange variant: pairs
+        whose tsat table entry is > 0 conduct against cv*T_sat (interface
+        pinning — SURVEY §2.3, pair_sph_heatconduction_phasechange.cpp)."""
+        if phasechange:
+            self.spec = self.spec._replace(heat_phasechange=True)
+        else:
+            self.spec = self.spec._replace(heatconduction=True)
 
     def pair_surfacetension(self):
         self.spec = self.spec._replace(surface_tension=True)
@@ -275,18 +281,26 @@ class Simulation:
         from tpusph.ops import dense
         name = self.backend_name
         if name == "auto":
-            # dense below ~2k particles; above: the fused Pallas kernel on
-            # TPU (~500x the XLA cell-grid sweeps there), XLA cell grid
-            # elsewhere
+            # dense below ~2k particles; above: the banded Pallas kernel on
+            # TPU (slot-resident state, ~4-6x the column kernel; falls back
+            # to the column kernel when phase change needs the particle
+            # pool or the box is too small to band), XLA cell grid elsewhere
             n = self.natoms
             if n <= 2048:
                 name = "dense"
             elif jax.default_backend() == "tpu" and self.tables.ntypes <= 6:
-                name = "pallas"
+                name = "pallas" if self.phase_change_config is not None \
+                    else "band"
             else:
                 name = "cellgrid"
         if name == "dense":
             return dense
+        if name == "band":
+            backend = self._select_band_backend()
+            if backend is not None:
+                return backend
+            name = "pallas" if (jax.default_backend() == "tpu"
+                                and self.tables.ntypes <= 6) else "cellgrid"
         if name in ("cellgrid", "pallas"):
             from tpusph import grid as gridlib
             cutoff = self.tables.max_cut()
@@ -320,6 +334,37 @@ class Simulation:
             return self._backend_cache["backend"]
         raise ValueError(f"unknown backend '{name}'")
 
+    def _select_band_backend(self):
+        """Banded slot-resident backend (ops/band_pair) — or None when the
+        configuration can't band (phase-change pool, tiny box, >6 types)."""
+        if self.phase_change_config is not None or self.tables.ntypes > 6:
+            return None
+        from tpusph.ops.band_pair import BandBackend, choose_band_geometry
+        cutoff = self.tables.max_cut()
+        skin = self.neighbor_skin if self.neighbor_skin is not None \
+            else 0.3 * cutoff
+        # choosing re-measures occupancy (pulls device state) and the choice
+        # must stay STABLE across run() calls — a re-chosen geometry is a
+        # full recompile. Re-choose only when the static inputs change.
+        gkey = (cutoff, skin, self.natoms, self.spec.dim)
+        if getattr(self, "_band_geom_key", None) != gkey:
+            if self.state is not None:
+                self._pull_state()
+            x = np.asarray(self._staged["x"])
+            self._band_geom_key = gkey
+            self._band_geom = choose_band_geometry(
+                self.box, cutoff, self.spec.dim, skin, x=x)
+        geom = self._band_geom
+        if geom is None:
+            return None
+        key = ("band", geom, self.reneigh_every)
+        if self._backend_cache.get("key") != key:
+            backend = BandBackend(geom, self.box, ntypes=self.tables.ntypes,
+                                  rebuild_every=self.reneigh_every)
+            self._backend_cache = dict(key=key, backend=backend)
+            self.aux = None
+        return self._backend_cache["backend"]
+
     def _derive_perf_flags(self):
         """Inspect the concrete coefficient tables and set the static perf
         flags (scalar-table folding / shared cutoff) on the spec."""
@@ -336,7 +381,7 @@ class Simulation:
         if self.spec.tait or self.spec.morris or self.spec.ideal_gas \
                 or self.spec.lj:
             active_cuts.append("cut")
-        if self.spec.heatconduction:
+        if self.spec.heatconduction or self.spec.heat_phasechange:
             active_cuts.append("cut_heat")
         if self.spec.surface_tension:
             active_cuts.append("cut_tension")

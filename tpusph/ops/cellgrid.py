@@ -232,7 +232,7 @@ class CellGridBackend:
 
 
 def _fields(state: ParticleState):
-    return dict(vest=state.vest, rho=state.rho, e=state.e,
+    return dict(vest=state.vest, rho=state.rho, e=state.e, cv=state.cv,
                 rmass=state.rmass, type=state.type)
 
 

@@ -33,7 +33,7 @@ def prepare(state: ParticleState, aux, istep, box: Box):
 def _state_fields(state: ParticleState):
     return dict(
         x=state.x, vest=state.vest, rho=state.rho, e=state.e,
-        rmass=state.rmass, type=state.type,
+        cv=state.cv, rmass=state.rmass, type=state.type,
     )
 
 

@@ -51,7 +51,8 @@ LJ_VDW_B = 1.0549
 LJ_DENOM_FLOOR = 0.05  # (1 - b rho) floor: keeps P finite past packing
 
 # which tables the force/cg sweeps need, by arity
-PAIR_TABLES_2D = ("cut", "visc", "heat_D", "cut_heat", "sigma", "cut_tension")
+PAIR_TABLES_2D = ("cut", "visc", "heat_D", "cut_heat", "sigma", "cut_tension",
+                  "tsat")
 PAIR_TABLES_1D = ("rho0", "tait_b", "c0", "gas_gamma", "color")
 
 
@@ -93,6 +94,7 @@ def gather_fields(state, idx) -> Dict[str, jnp.ndarray]:
         vest=state.vest[idx],
         rho=state.rho[idx],
         e=state.e[idx],
+        cv=state.cv[idx],
         rmass=state.rmass[idx],
         type=state.type[idx],
     )
@@ -231,7 +233,7 @@ def force_pair(pi, pj, dx, rsq, mask, coefs, spec: PhysicsSpec,
         if spec.continuity:
             drho = drho + jnp.where(live, m_j * dvdr * wfd, 0.0)
 
-    if spec.heatconduction:
+    if spec.heatconduction or spec.heat_phasechange:
         cut_h = coefs["cut_heat"]
         live = mask & (rsq < cut_h * cut_h) & (cut_h > 0.0)
         wfd = jnp.where(live, wfd_fn(r, jnp.maximum(cut_h, 1e-30)), 0.0)
@@ -240,8 +242,17 @@ def force_pair(pi, pj, dx, rsq, mask, coefs, spec: PhysicsSpec,
         m_i = jnp.where(live, mi, 1.0)
         m_j = jnp.where(live, mj, 1.0)
         coef = (2.0 * m_i * m_j / (m_i + m_j)) * ((rho_i + rho_j) / (rho_i * rho_j))
-        de = de + jnp.where(
-            live, coef * coefs["heat_D"] * (pi["e"] - pj["e"]) * wfd, 0.0)
+        ediff = pi["e"] - pj["e"]
+        if spec.heat_phasechange:
+            # sph/heatconduction/phasechange (SURVEY §2.3 [M], expected
+            # src/USER-SPH/pair_sph_heatconduction_phasechange.cpp): pairs
+            # with tsat > 0 (set on the liquid/vapor cross pair) conduct
+            # against the saturation point cv_i*T_sat instead of e_j —
+            # pinning the interface to T_sat. The pairwise energy imbalance
+            # is the latent-heat channel consumed by fix phase_change.
+            tsat = coefs["tsat"]
+            ediff = jnp.where(tsat > 0.0, pi["e"] - pi["cv"] * tsat, ediff)
+        de = de + jnp.where(live, coef * coefs["heat_D"] * ediff * wfd, 0.0)
 
     if spec.surface_tension:
         cut_t = coefs["cut_tension"]

@@ -48,6 +48,7 @@ from tpusph.state import Box, ParticleState
 # packed field rows (F = 16)
 F_ROWS = 16
 RX, RY, RZ, RVX, RVY, RVZ, RRHO, RE, RM, RTYPE, RCGX, RCGY, RCGZ = range(13)
+RCV = 13  # per-particle heat capacity (heatconduction/phasechange pinning)
 # output rows (8)
 OFX, OFY, OFZ, ODRHO, ODE, ORHO, OCGX, OCGY = range(8)
 
@@ -105,6 +106,7 @@ def pack_dense(state: ParticleState, data: gridlib.GridData, cg: ColumnGrid,
         cols += [cgrad[:, 0], cgrad[:, 1], cgrad[:, 2]]
     else:
         cols += [jnp.zeros(n)] * 3
+    cols += [state.cv]
     cols += [jnp.zeros(n)] * (F_ROWS - len(cols))
     packed_rows = jnp.stack(cols, axis=1)  # (n, F)
 
@@ -404,14 +406,19 @@ def make_column_kernel(cg: ColumnGrid, spec: PhysicsSpec, ntypes: int,
                 if spec.continuity:
                     drho = drho + jnp.where(live, m_j * dvdr * wfd, 0.0)
 
-            if spec.heatconduction:
+            if spec.heatconduction or spec.heat_phasechange:
                 cut, live, wfd, rho_i, rho_j, mi, mj = term_ctx("cut_heat")
                 coef = (2.0 * mi * mj / (mi + mj)) * \
                     ((rho_i + rho_j) / (rho_i * rho_j))
+                ediff = irow(RE) - jrow(RE)
+                if spec.heat_phasechange:
+                    # tsat > 0 pairs conduct against cv_i*T_sat (interface
+                    # pinning — pair_terms.py is the statement of record)
+                    tsat = c2d("tsat")
+                    ediff = jnp.where(tsat > 0.0,
+                                      irow(RE) - irow(RCV) * tsat, ediff)
                 de = de + jnp.where(
-                    live,
-                    coef * c2d("heat_D") * (irow(RE) - jrow(RE)) * wfd,
-                    0.0)
+                    live, coef * c2d("heat_D") * ediff * wfd, 0.0)
 
             if spec.surface_tension:
                 cut, live, wfd, rho_i, rho_j, mi, mj = term_ctx("cut_tension")
@@ -531,7 +538,7 @@ def _make_block_imap(cg: ColumnGrid, ox: int, oy: int):
 
 
 _TABLES_2D = ("cut", "visc", "heat_D", "cut_heat", "sigma", "cut_tension",
-              "cut_rho")
+              "cut_rho", "tsat")
 _TABLES_1D = ("rho0", "tait_b", "c0", "gas_gamma", "color")
 
 

@@ -41,7 +41,13 @@ class PhysicsSpec(NamedTuple):
     morris: bool = False         # sph/taitwater/morris (laminar viscosity)
     ideal_gas: bool = False      # sph/idealgas
     lj: bool = False             # sph/lj (vdW-form LJ gas EOS)
-    heatconduction: bool = False  # sph/heatconduction[/phasechange]
+    heatconduction: bool = False  # sph/heatconduction
+    # sph/heatconduction/phasechange: pairs whose tsat table entry is > 0
+    # conduct against the saturation point cv*T_sat instead of the
+    # neighbor's energy (interface pinning; the pairwise energy imbalance is
+    # the latent-heat sink consumed by fix phase_change). Reference:
+    # src/USER-SPH/pair_sph_heatconduction_phasechange.cpp (SURVEY §2.3 [M]).
+    heat_phasechange: bool = False
     surface_tension: bool = False  # sph/colorgradient + sph/surfacetension
     phase_change: bool = False   # fix phase_change (evaporation)
     # density continuity term (accumulated by taitwater-family styles):
@@ -85,6 +91,9 @@ class PairTables:
     visc: jax.Array      # (T+1,T+1) artificial-viscosity alpha OR Morris mu
     heat_D: jax.Array    # (T+1,T+1) heat diffusion coefficient
     sigma: jax.Array     # (T+1,T+1) surface-tension coefficient
+    tsat: jax.Array      # (T+1,T+1) saturation T for interface-pinned
+    #                      conduction (sph/heatconduction/phasechange);
+    #                      0 = plain conduction for that pair
     color: jax.Array     # (T+1,)   phase color for CSF (default = type value)
     gravity: jax.Array   # (3,)     body acceleration (fix gravity)
     cut: jax.Array       # (T+1,T+1) support radius for the force sweep
@@ -106,6 +115,7 @@ class PairTables:
             visc=jnp.asarray(_t2(ntypes)),
             heat_D=jnp.asarray(_t2(ntypes)),
             sigma=jnp.asarray(_t2(ntypes)),
+            tsat=jnp.asarray(_t2(ntypes)),
             color=jnp.asarray(np.arange(ntypes + 1, dtype=np.float32)),
             gravity=jnp.zeros(3, jnp.float32),
             cut=jnp.asarray(_t2(ntypes)),
@@ -164,9 +174,14 @@ class PairTables:
     def set_rhosum(self, i, j, h):
         self._set2("cut_rho", i, j, h)
 
-    def set_heatconduction(self, i, j, d, h):
+    def set_heatconduction(self, i, j, d, h, tsat: float = 0.0):
+        """pair_coeff i j sph/heatconduction D h — the /phasechange variant
+        adds a saturation temperature: pair_coeff i j D h Tsat pins that
+        pair's conduction to T_sat (set it on the liquid/vapor cross pair)."""
         self._set2("heat_D", i, j, d)
         self._set2("cut_heat", i, j, h)
+        if tsat:
+            self._set2("tsat", i, j, tsat)
 
     def set_surfacetension(self, i, j, sigma, h):
         """sigma applies to the i-j interface (folded into the color

@@ -481,8 +481,10 @@ class Interpreter:
                 self.sim.pair_idealgas()
             elif name == "sph/lj":
                 self.sim.pair_lj()
-            elif name in ("sph/heatconduction", "sph/heatconduction/phasechange"):
+            elif name == "sph/heatconduction":
                 self.sim.pair_heatconduction()
+            elif name == "sph/heatconduction/phasechange":
+                self.sim.pair_heatconduction(phasechange=True)
             elif name in ("sph/colorgradient",):
                 pass  # activated together with surfacetension
             elif name in ("sph/surfacetension",):
@@ -523,9 +525,14 @@ class Interpreter:
                     t.set_idealgas(i, j, viscosity=args[0], h=args[1])
                 elif style == "sph/lj":
                     t.set_lj(i, j, viscosity=args[0], h=args[1])
-                elif style in ("sph/heatconduction",
-                               "sph/heatconduction/phasechange"):
+                elif style == "sph/heatconduction":
                     t.set_heatconduction(i, j, d=args[0], h=args[1])
+                elif style == "sph/heatconduction/phasechange":
+                    # pair_coeff I J D h [Tsat] — Tsat on the liquid/vapor
+                    # cross pair pins that interface to the saturation point
+                    t.set_heatconduction(
+                        i, j, d=args[0], h=args[1],
+                        tsat=args[2] if len(args) > 2 else 0.0)
                 elif style in ("sph/surfacetension", "sph/colorgradient"):
                     # colorgradient h [alpha]; surfacetension sigma h
                     if style == "sph/colorgradient":
