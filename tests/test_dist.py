@@ -39,19 +39,21 @@ thermo_style   custom step time ke
 """
 
 
-def run_case(nbricks, nsteps=60, lx=3.2, backend=None):
+def run_case(nbricks, nsteps=60, lx=3.2, backend=None, shape=None,
+             axes=None, vel=None):
     interp = Interpreter()
     interp.sim.screen = False
     interp.run_string(PERIODIC_SCRIPT.format(lx=lx, lxf=lx - 0.05))
     sim = interp.sim
+    if vel is not None:
+        sim.set_values(np.ones(sim.natoms, bool), v=np.asarray(vel))
     if backend:
         sim.backend_name = backend
     if nbricks > 1:
-        sim.set_mesh(nbricks)
+        sim.set_mesh(nbricks, shape=shape, axes=axes)
     elif not backend:
         sim.backend_name = "cellgrid"
     sim.run(nsteps)
-    order = None
     out = {}
     for f in ("x", "v", "rho", "e", "tag"):
         out[f] = sim.get(f)
@@ -110,6 +112,55 @@ def test_dist_overflow_counter_visible():
     sim.run(10)
     ov = int(np.sum(np.asarray(jax.device_get(sim.aux.overflow))))
     assert ov == 0
+
+
+def test_bricks_2d_mesh_corner_migration():
+    """2-axis procgrid (comm.cpp parity — SURVEY §2.5): a (2,2) brick mesh
+    over axes (0,1) with a DIAGONAL drift, so particles migrate through
+    brick corners (two staged hops) and through both periodic seams.
+    Must match the single-device trajectory to f32 roundoff."""
+    diag = [0.15, 0.11, 0.0]
+    sim1, a = run_case(1, vel=diag)
+    sim4, b = run_case(4, shape=(2, 2), axes=(0, 1), vel=diag)
+    from tpusph.dist import BrickSpec
+    assert sim4.brick_spec.shape == (2, 2)
+    assert sim4.brick_spec.axes == (0, 1)
+    assert sim4.natoms == sim1.natoms
+    assert np.array_equal(a["tag"], b["tag"])
+    L = np.array([3.2, 1.6, 1.0])
+    dx = a["x"] - b["x"]
+    dx -= L * np.round(dx / L)
+    np.testing.assert_allclose(dx, 0.0, atol=5e-4)
+    np.testing.assert_allclose(a["rho"], b["rho"], rtol=1e-4)
+    np.testing.assert_allclose(a["e"], b["e"], rtol=1e-4, atol=1e-5)
+
+
+def test_bricks_4x2_mesh():
+    """(4,2) mesh over 8 devices — the dryrun_multichip shape."""
+    diag = [0.15, 0.11, 0.0]
+    sim1, a = run_case(1, nsteps=40, lx=3.2, vel=diag)
+    sim8, b = run_case(8, nsteps=40, lx=3.2, shape=(4, 2), axes=(0, 1),
+                       vel=diag)
+    assert sim8.natoms == sim1.natoms
+    L = np.array([3.2, 1.6, 1.0])
+    dx = a["x"] - b["x"]
+    dx -= L * np.round(dx / L)
+    np.testing.assert_allclose(dx, 0.0, atol=5e-4)
+
+
+def test_auto_shape_lifts_margin_ceiling():
+    """A box too narrow for 8 one-axis bricks (width <= margin) must
+    auto-fall back to a multi-axis decomposition instead of erroring —
+    the VERDICT margin>=width ceiling, lifted."""
+    from tpusph.dist import make_brick_spec
+    from tpusph.state import Box
+    box = Box.create([0, 0, 0], [3.2, 1.6, 1.0], (True, True, True))
+    # margin 0.4: 3.2/8 = 0.4 <= margin -> 1D infeasible; (4,2) fits
+    spec = make_brick_spec(box, 8, cutoff=0.3, skin=0.1, n_particles=512)
+    assert len(spec.axes) >= 2
+    assert int(np.prod(spec.shape)) == 8
+    for k in range(spec.naxes):
+        assert spec.width[k] > spec.margin
 
 
 DAM_DIST_SCRIPT = """

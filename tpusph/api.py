@@ -78,16 +78,21 @@ class Simulation:
         self.local_cap = None
 
     def set_mesh(self, ndev: Optional[int] = None, axis_dim: int = 0,
-                 devices=None):
+                 devices=None, shape=None, axes=None):
         """Enable spatial domain decomposition over a device mesh
         (the `processors` command analog — SURVEY §2.5). Must be called
-        before the first run."""
+        before the first run. Default: 1D bricks along ``axis_dim``,
+        falling back to an auto-chosen multi-axis procgrid when the 1D
+        bricks would be thinner than the halo margin; pass ``shape`` (e.g.
+        (4, 2)) and ``axes`` (e.g. (0, 1)) to force a decomposition."""
         from jax.sharding import Mesh
         from tpusph.dist import AXIS
         if devices is None:
             devices = jax.devices()[: (ndev or len(jax.devices()))]
         self.mesh = Mesh(np.asarray(devices), (AXIS,))
         self._mesh_axis_dim = axis_dim
+        self._mesh_shape = tuple(shape) if shape is not None else None
+        self._mesh_axes = tuple(axes) if axes is not None else None
         self._runner = None
         self.state = None
         self.aux = None
@@ -415,7 +420,9 @@ class Simulation:
             ndev = self.mesh.devices.size
             self.brick_spec = dist.make_brick_spec(
                 self.box, ndev, cutoff, skin, self.natoms,
-                axis_dim=getattr(self, "_mesh_axis_dim", 0))
+                axis_dim=getattr(self, "_mesh_axis_dim", 0),
+                shape=getattr(self, "_mesh_shape", None),
+                axes=getattr(self, "_mesh_axes", None))
             use_pallas = (self.backend_name == "pallas"
                           or (self.backend_name == "auto"
                               and jax.default_backend() == "tpu"

@@ -1,15 +1,23 @@
 """Spatial domain decomposition over a TPU device mesh — the TPU-native
 replacement for the reference's MPI brick decomposition + halo exchange
-(src/comm.cpp: setup/forward_comm/exchange/borders — SURVEY.md §2.5, §5.7).
+(src/comm.cpp: setup/forward_comm/exchange/borders, procgrid — SURVEY.md
+§2.5, §5.7).
 
 Design
 ------
-1D brick decomposition along one spatial axis. Each device owns a brick and
-stores positions in BRICK-LOCAL coordinates along that axis (x_local =
-x_global - brick_index * width). That makes every ring transfer uniform:
-payloads moving to the right neighbor subtract one width, to the left add
-one — including across the periodic seam — so the shard_map program is
-identical on every device with zero seam special-casing.
+Multi-axis brick decomposition (the reference's procgrid): the box is split
+into ``shape[k]`` bricks along each decomposed spatial axis ``axes[k]``;
+one device per brick, linearized row-major onto a single 1D device mesh
+axis ("bricks"). Each device stores positions BRICK-LOCAL along every
+decomposed axis (x_local = x_global - brick_coord * width). That makes
+every ring transfer uniform: payloads moving up an axis subtract one width,
+down add one — including across the periodic seam — so the shard_map
+program is identical on every device with zero seam special-casing.
+
+Comm is STAGED per axis, exactly like the reference's 6-direction sends:
+exchange and borders run axis 0 first, then axis 1 (whose edge slabs
+include axis-0 ghosts), so corner/diagonal neighbors are resolved in two
+hops without diagonal sends (SURVEY §7.5 item 5).
 
 MPI primitive -> ICI collective mapping (SURVEY §2.11 item 4, §5.8):
   Comm::exchange   (migration)   -> masked fixed-capacity pack + lax.ppermute
@@ -17,7 +25,8 @@ MPI primitive -> ICI collective mapping (SURVEY §2.11 item 4, §5.8):
                                     into the local pool as owned=False
   Comm::forward_comm (each step) -> gather at persistent send rows +
                                     ppermute + scatter to persistent ghost
-                                    rows (x, vest, rho, e — the meso set)
+                                    rows (x, vest, rho, e — the meso set),
+                                    staged lo/hi per axis in axis order
   Pair::pack_forward_comm        -> extra halo refresh after rhosum / color
                                     gradient (their mid-force comm)
   MPI_Allreduce (thermo)         -> reductions on the global sharded array
@@ -59,22 +68,57 @@ _ALL_FIELDS = ("x", "v", "vest", "f", "rho", "drho", "e", "de", "cv",
 
 
 class BrickSpec(NamedTuple):
-    """Static decomposition geometry (hashable)."""
+    """Static decomposition geometry (hashable). ``shape[k]`` bricks along
+    spatial axis ``axes[k]``; linear brick id is row-major over ``shape``
+    (matching the device order of the 1D mesh)."""
     ndev: int
-    axis_dim: int      # spatial axis of the decomposition
-    lo: float          # global box lo along the axis
-    width: float       # brick width
-    margin: float      # halo margin = cutoff + skin
-    ghost_cap: int     # max ghosts per side
-    migrate_cap: int   # max migrants per side per rebuild
-    periodic: bool     # global periodicity along the axis
+    axes: Tuple[int, ...]      # decomposed spatial axes, e.g. (0,) or (0, 1)
+    shape: Tuple[int, ...]     # bricks per decomposed axis; prod == ndev
+    lo: Tuple[float, ...]      # global box lo along each decomposed axis
+    width: Tuple[float, ...]   # brick width along each decomposed axis
+    margin: float              # halo margin = cutoff + skin
+    ghost_cap: int             # max ghosts per side
+    migrate_cap: int           # max migrants per side per rebuild
+    periodic: Tuple[bool, ...]  # global periodicity along each decomposed axis
+
+    @property
+    def naxes(self) -> int:
+        return len(self.axes)
+
+    # 1D backward-compat accessors (dump/restart/entry helpers)
+    @property
+    def axis_dim(self) -> int:
+        return self.axes[0]
+
+    def coords_of(self, b):
+        """Linear brick id -> per-decomposed-axis coordinates (host or
+        traced). Row-major: axis 0 slowest."""
+        out = []
+        for k in range(self.naxes - 1, -1, -1):
+            out.append(b % self.shape[k])
+            b = b // self.shape[k]
+        return tuple(reversed(out))
+
+    def stride(self, k: int) -> int:
+        """Linear-index stride of one step along decomposed axis k."""
+        s = 1
+        for kk in range(k + 1, self.naxes):
+            s *= self.shape[kk]
+        return s
 
 
-def _shift(arr, direction: int):
-    """Ring ppermute: direction=+1 sends to the right neighbor (brick
-    index + 1). On the ICI torus this is a physical-neighbor permute."""
-    n = jax.lax.axis_size(AXIS)
-    perm = [(i, (i + direction) % n) for i in range(n)]
+def _shift_axis(arr, spec: BrickSpec, k: int, direction: int):
+    """Ring ppermute along decomposed axis k: direction=+1 sends to the
+    coordinate+1 neighbor (wrapping). On the ICI torus each hop is a
+    fixed-stride permute of the linear brick index."""
+    n = spec.ndev
+    sk = spec.shape[k]
+    stride = spec.stride(k)
+    perm = []
+    for i in range(n):
+        c = (i // stride) % sk
+        j = i + ((c + direction) % sk - c) * stride
+        perm.append((i, j))
     return jax.lax.ppermute(arr, AXIS, perm)
 
 
@@ -130,17 +174,16 @@ def _merge_payload(state: ParticleState, payload, count, owned_val: bool,
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass(frozen=True)
 class DistAux:
-    """Per-brick distribution state (inside shard_map)."""
+    """Per-brick distribution state (inside shard_map). Side arrays are
+    stacked (2*naxes, ...): side index 2k = axis-k lo side, 2k+1 = hi side.
+    send_rows[s]: my edge rows packed for the side-s neighbor;
+    ghost_rows[s]: my rows holding ghosts RECEIVED from that neighbor."""
     grid: gridlib.GridData
-    send_left: jax.Array    # (G,) i32 rows packed for the left neighbor
-    send_right: jax.Array   # (G,) i32
-    n_send_left: jax.Array
-    n_send_right: jax.Array
-    ghost_left: jax.Array   # (G,) i32 rows holding ghosts from the left
-    ghost_right: jax.Array  # (G,) i32
-    n_ghost_left: jax.Array
-    n_ghost_right: jax.Array
-    overflow: jax.Array     # () i32 cumulative buffer overflow
+    send_rows: jax.Array   # (S, G) i32
+    n_send: jax.Array      # (S, 1) i32
+    ghost_rows: jax.Array  # (S, G) i32
+    n_ghost: jax.Array     # (S, 1) i32
+    overflow: jax.Array    # (1,) i32 cumulative buffer overflow
 
 
 class DistBackend:
@@ -154,13 +197,13 @@ class DistBackend:
                  avg_per_cell: float | None = None, rebuild_every: int = 0,
                  use_pallas: bool = False, ntypes: int = 1):
         self.spec = spec
-        ax = spec.axis_dim
         lo = np.asarray(box_global.lo, np.float64).copy()
         hi = np.asarray(box_global.hi, np.float64).copy()
-        lo[ax] = -spec.margin
-        hi[ax] = spec.width + spec.margin
         per = list(box_global.periodic)
-        per[ax] = False  # ghosts materialize cross-brick images explicitly
+        for k, ax in enumerate(spec.axes):
+            lo[ax] = -spec.margin
+            hi[ax] = spec.width[k] + spec.margin
+            per[ax] = False  # ghosts materialize cross-brick images explicitly
         self.box_local = Box.create(lo, hi, tuple(per))
         self.box_global = box_global
         self.geom = gridlib.make_geometry(self.box_local, cutoff, dim,
@@ -176,28 +219,35 @@ class DistBackend:
             self.inner = CellGridBackend(self.geom)
         self.rebuild_every = rebuild_every
 
+    def _axis_coord(self, k: int):
+        """This brick's coordinate along decomposed axis k (traced)."""
+        return self.spec.coords_of(jax.lax.axis_index(AXIS))[k]
+
     # -- mid-force halo refresh (rhosum rho / colorgradient cg) -------------
 
     def _halo_refresh(self, field, aux: DistAux):
+        """Staged per-axis owner->ghost refresh of one per-particle field.
+        Axis order matters: axis-1 sends relay axis-0 ghosts (corners)."""
         g = self.spec.ghost_cap
         n = field.shape[0]
 
-        def one_side(send_rows, n_send, ghost_rows, n_ghost, direction, fld):
-            vals = fld[jnp.clip(send_rows, 0, n - 1)]
-            smask = jnp.arange(g) < n_send
+        def one_side(s, direction, k, fld):
+            vals = fld[jnp.clip(aux.send_rows[s], 0, n - 1)]
+            smask = jnp.arange(g) < aux.n_send[s]
             vals = jnp.where(smask if vals.ndim == 1 else smask[:, None],
                              vals, jnp.zeros_like(vals))
-            recv = _shift(vals, direction)
-            gmask = jnp.arange(g) < n_ghost
-            tgt = jnp.where(gmask, ghost_rows, n)
+            recv = _shift_axis(vals, self.spec, k, direction)
+            # my lo-edge pack goes to my lo neighbor (direction -1) and
+            # lands in the RECEIVER's hi-ghost rows; symmetrically I
+            # receive into my hi-ghost rows from my hi neighbor's lo edge.
+            recv_side = s ^ 1
+            gmask = jnp.arange(g) < aux.n_ghost[recv_side]
+            tgt = jnp.where(gmask, aux.ghost_rows[recv_side], n)
             return fld.at[tgt].set(recv, mode="drop")
 
-        # my left-edge pack -> left neighbor (direction -1); it lands in the
-        # RECEIVER's right-ghost rows. I symmetrically receive from my right.
-        field = one_side(aux.send_left, aux.n_send_left,
-                         aux.ghost_right, aux.n_ghost_right, -1, field)
-        field = one_side(aux.send_right, aux.n_send_right,
-                         aux.ghost_left, aux.n_ghost_left, +1, field)
+        for k in range(self.spec.naxes):
+            field = one_side(2 * k, -1, k, field)
+            field = one_side(2 * k + 1, +1, k, field)
         return field
 
     def rho_summation(self, state, tables, spec, box, aux: DistAux, **_):
@@ -232,48 +282,50 @@ class DistBackend:
 
         return jax.lax.cond(
             trigger,
-            lambda sa: self._rebuild(sa[0], prev_overflow=sa[1].overflow),
+            lambda sa: self._rebuild(sa[0], prev_overflow=sa[1].overflow,
+                                     nbuilds=sa[1].grid.nbuilds),
             lambda sa: self._forward_comm(*sa),
             (state, aux))
 
     def _forward_comm(self, state: ParticleState, aux: DistAux):
-        """Owner -> ghost per-step refresh of x, vest, rho, e."""
+        """Owner -> ghost per-step refresh of x, vest, rho, e, staged per
+        axis (axis-1 relays axis-0 ghost rows — corners stay fresh)."""
         g = self.spec.ghost_cap
         n = state.capacity
-        w = self.spec.width
-        ax = self.spec.axis_dim
 
-        def one_side(send_rows, n_send, ghost_rows, n_ghost, direction, st):
-            smask = jnp.arange(g) < n_send
-            gmask = jnp.arange(g) < n_ghost
-            tgt = jnp.where(gmask, ghost_rows, n)
+        def one_side(s, direction, k, st):
+            w = self.spec.width[k]
+            ax = self.spec.axes[k]
+            smask = jnp.arange(g) < aux.n_send[s]
+            recv_side = s ^ 1
+            gmask = jnp.arange(g) < aux.n_ghost[recv_side]
+            tgt = jnp.where(gmask, aux.ghost_rows[recv_side], n)
             updates = {}
             for f in _FWD_FIELDS:
-                v = getattr(state, f)[jnp.clip(send_rows, 0, n - 1)]
+                v = getattr(st, f)[jnp.clip(aux.send_rows[s], 0, n - 1)]
                 v = jnp.where(smask if v.ndim == 1 else smask[:, None], v,
                               jnp.zeros_like(v))
                 if f == "x":
-                    # brick-local frames: +w when moving left, -w right
+                    # brick-local frames: +w when moving down-axis, -w up
                     v = v.at[:, ax].add(-direction * w)
-                recv = _shift(v, direction)
+                recv = _shift_axis(v, self.spec, k, direction)
                 updates[f] = getattr(st, f).at[tgt].set(recv, mode="drop")
             return dataclasses.replace(st, **updates)
 
-        st = one_side(aux.send_left, aux.n_send_left,
-                      aux.ghost_right, aux.n_ghost_right, -1, state)
-        st = one_side(aux.send_right, aux.n_send_right,
-                      aux.ghost_left, aux.n_ghost_left, +1, st)
-        return st, aux
+        for k in range(self.spec.naxes):
+            state = one_side(2 * k, -1, k, state)
+            state = one_side(2 * k + 1, +1, k, state)
+        return state, aux
 
-    def _rebuild(self, state: ParticleState, prev_overflow=None):
-        """exchange + borders + sort (SURVEY §3.2 rebuild branch).
-        ``prev_overflow`` accumulates across rebuilds so the host check at
-        thermo cadence cannot miss an overflow from an earlier rebuild."""
+    def _rebuild(self, state: ParticleState, prev_overflow=None,
+                 nbuilds=None):
+        """exchange + borders + sort (SURVEY §3.2 rebuild branch), staged
+        per axis. ``prev_overflow`` accumulates across rebuilds so the host
+        check at thermo cadence cannot miss an earlier overflow."""
         spec = self.spec
-        ax = spec.axis_dim
-        w = spec.width
         n = state.capacity
-        idx = jax.lax.axis_index(AXIS)
+        gcap = spec.ghost_cap
+        mcap = spec.migrate_cap
 
         # drop previous ghosts; wrap non-decomposed periodic axes
         state = dataclasses.replace(
@@ -282,138 +334,253 @@ class DistBackend:
             owned=jnp.ones_like(state.owned),
             x=self._wrap_other_axes(state.x))
 
-        # ---- exchange (migration): local coords outside [0, w) leave ----
-        alive = state.alive
-        xa = state.x[:, ax]
-        gone_l = alive & (xa < 0.0)
-        gone_r = alive & (xa >= w)
-        if not spec.periodic:
-            # at the global boundary nothing leaves (walls/fixed boundary:
-            # particles may overhang; they stay owned by the edge brick)
-            gone_l = gone_l & (idx > 0)
-            gone_r = gone_r & (idx < spec.ndev - 1)
-        mrows_l, mcnt_l, mov_l = _select_rows(gone_l, spec.migrate_cap)
-        mrows_r, mcnt_r, mov_r = _select_rows(gone_r, spec.migrate_cap)
-        pay_l = _pack_rows(state, mrows_l, mcnt_l)
-        pay_r = _pack_rows(state, mrows_r, mcnt_r)
-        pay_l["x"] = pay_l["x"].at[:, ax].add(w)    # into left frame
-        pay_r["x"] = pay_r["x"].at[:, ax].add(-w)   # into right frame
-        killed = jnp.zeros(n, bool).at[mrows_l].set(True, mode="drop") \
-            | jnp.zeros(n, bool).at[mrows_r].set(True, mode="drop")
-        state = dataclasses.replace(state,
-                                    type=jnp.where(killed, 0, state.type))
-        recv_from_left = jax.tree_util.tree_map(lambda a: _shift(a, +1), pay_r)
-        recv_from_right = jax.tree_util.tree_map(lambda a: _shift(a, -1), pay_l)
-        cnt_from_left = _shift(mcnt_r, +1)
-        cnt_from_right = _shift(mcnt_l, -1)
-        # (count already encoded in payload's dead types; merge both)
-        state, ov1 = _merge_payload(state, recv_from_left, cnt_from_left, True)
-        state, ov2 = _merge_payload(state, recv_from_right, cnt_from_right,
-                                    True, used_dead=spec.migrate_cap)
+        overflow = jnp.zeros(1, jnp.int32)
+        if prev_overflow is not None:
+            overflow = overflow + prev_overflow
 
-        # ---- borders (ghosts) ----
-        alive = state.alive
-        xa = state.x[:, ax]
-        edge_l = alive & (xa < spec.margin)
-        edge_r = alive & (xa >= w - spec.margin)
-        if not spec.periodic:
-            edge_l = edge_l & (idx > 0)
-            edge_r = edge_r & (idx < spec.ndev - 1)
-        srows_l, scnt_l, sov_l = _select_rows(edge_l, spec.ghost_cap)
-        srows_r, scnt_r, sov_r = _select_rows(edge_r, spec.ghost_cap)
-        gpay_l = _pack_rows(state, srows_l, scnt_l)
-        gpay_r = _pack_rows(state, srows_r, scnt_r)
-        gpay_l["x"] = gpay_l["x"].at[:, ax].add(w)
-        gpay_r["x"] = gpay_r["x"].at[:, ax].add(-w)
-        ghosts_from_left = jax.tree_util.tree_map(lambda a: _shift(a, +1), gpay_r)
-        ghosts_from_right = jax.tree_util.tree_map(lambda a: _shift(a, -1), gpay_l)
-        gcnt_l = _shift(scnt_r, +1)
-        gcnt_r = _shift(scnt_l, -1)
+        # ---- exchange (migration), axis by axis: a corner migrant moves in
+        # two hops (axis 0 first, then axis 1 from the intermediate brick)
+        for k in range(spec.naxes):
+            ax = spec.axes[k]
+            w = spec.width[k]
+            idx_k = self._axis_coord(k)
+            alive = state.alive
+            xa = state.x[:, ax]
+            gone_lo = alive & (xa < 0.0)
+            gone_hi = alive & (xa >= w)
+            if not spec.periodic[k]:
+                # at the global boundary nothing leaves (walls/fixed
+                # boundary: overhanging particles stay with the edge brick)
+                gone_lo = gone_lo & (idx_k > 0)
+                gone_hi = gone_hi & (idx_k < spec.shape[k] - 1)
+            mrows_lo, mcnt_lo, mov_lo = _select_rows(gone_lo, mcap)
+            mrows_hi, mcnt_hi, mov_hi = _select_rows(gone_hi, mcap)
+            pay_lo = _pack_rows(state, mrows_lo, mcnt_lo)
+            pay_hi = _pack_rows(state, mrows_hi, mcnt_hi)
+            pay_lo["x"] = pay_lo["x"].at[:, ax].add(w)    # into lo frame
+            pay_hi["x"] = pay_hi["x"].at[:, ax].add(-w)   # into hi frame
+            killed = jnp.zeros(n, bool).at[mrows_lo].set(True, mode="drop") \
+                | jnp.zeros(n, bool).at[mrows_hi].set(True, mode="drop")
+            state = dataclasses.replace(
+                state, type=jnp.where(killed, 0, state.type))
+            recv_from_lo = jax.tree_util.tree_map(
+                lambda a: _shift_axis(a, spec, k, +1), pay_hi)
+            recv_from_hi = jax.tree_util.tree_map(
+                lambda a: _shift_axis(a, spec, k, -1), pay_lo)
+            cnt_from_lo = _shift_axis(mcnt_hi, spec, k, +1)
+            cnt_from_hi = _shift_axis(mcnt_lo, spec, k, -1)
+            state, ov1 = _merge_payload(state, recv_from_lo, cnt_from_lo,
+                                        True)
+            state, ov2 = _merge_payload(state, recv_from_hi, cnt_from_hi,
+                                        True, used_dead=mcap)
+            overflow = overflow + mov_lo + mov_hi + ov1 + ov2
 
-        # forward-comm send markers (survive the sort via `extra`)
-        send_slot_l = jnp.full((n,), -1, jnp.int32).at[srows_l].set(
-            jnp.arange(spec.ghost_cap, dtype=jnp.int32), mode="drop")
-        send_slot_r = jnp.full((n,), -1, jnp.int32).at[srows_r].set(
-            jnp.arange(spec.ghost_cap, dtype=jnp.int32), mode="drop")
+        # ---- borders (ghosts), axis by axis. Later axes pack their edge
+        # slabs from the state INCLUDING earlier axes' ghosts, so corner
+        # ghosts are relayed in two hops (the reference's staged borders).
+        send_slots = []       # (n,)-arrays of per-row send-slot markers
+        ghost_cnts = []       # (1,)-arrays, in merge order
+        merge_idx = 0
+        for k in range(spec.naxes):
+            ax = spec.axes[k]
+            w = spec.width[k]
+            idx_k = self._axis_coord(k)
+            alive = state.alive
+            xa = state.x[:, ax]
+            edge_lo = alive & (xa < spec.margin)
+            edge_hi = alive & (xa >= w - spec.margin)
+            if not spec.periodic[k]:
+                edge_lo = edge_lo & (idx_k > 0)
+                edge_hi = edge_hi & (idx_k < spec.shape[k] - 1)
+            srows_lo, scnt_lo, sov_lo = _select_rows(edge_lo, gcap)
+            srows_hi, scnt_hi, sov_hi = _select_rows(edge_hi, gcap)
+            gpay_lo = _pack_rows(state, srows_lo, scnt_lo)
+            gpay_hi = _pack_rows(state, srows_hi, scnt_hi)
+            gpay_lo["x"] = gpay_lo["x"].at[:, ax].add(w)
+            gpay_hi["x"] = gpay_hi["x"].at[:, ax].add(-w)
+            ghosts_from_lo = jax.tree_util.tree_map(
+                lambda a: _shift_axis(a, spec, k, +1), gpay_hi)
+            ghosts_from_hi = jax.tree_util.tree_map(
+                lambda a: _shift_axis(a, spec, k, -1), gpay_lo)
+            gcnt_lo = _shift_axis(scnt_hi, spec, k, +1)
+            gcnt_hi = _shift_axis(scnt_lo, spec, k, -1)
 
-        state, ov3 = _merge_payload(state, ghosts_from_left, gcnt_l, False)
-        state, ov4 = _merge_payload(state, ghosts_from_right, gcnt_r, False,
-                                    used_dead=spec.ghost_cap)
+            # forward-comm send markers (survive the sort via `extra`)
+            send_slots.append(
+                jnp.full((n,), -1, jnp.int32).at[srows_lo].set(
+                    jnp.arange(gcap, dtype=jnp.int32), mode="drop"))
+            send_slots.append(
+                jnp.full((n,), -1, jnp.int32).at[srows_hi].set(
+                    jnp.arange(gcap, dtype=jnp.int32), mode="drop"))
 
-        # Ghost slot reconstruction: dead slots are consumed in ascending row
-        # order, left buffer before right (disjoint offset ranges), and each
-        # buffer in slot order — so among activated (!owned & alive) rows in
-        # row order, the first gcnt_l are left slots 0..; the rest right.
+            state, ov3 = _merge_payload(state, ghosts_from_lo, gcnt_lo,
+                                        False, used_dead=merge_idx * gcap)
+            state, ov4 = _merge_payload(state, ghosts_from_hi, gcnt_hi,
+                                        False,
+                                        used_dead=(merge_idx + 1) * gcap)
+            merge_idx += 2
+            ghost_cnts += [gcnt_lo, gcnt_hi]
+            overflow = overflow + sov_lo + sov_hi + ov3 + ov4
+            # n_send per side, in side order (lo, hi) for this axis
+            if k == 0:
+                n_send_sides = [scnt_lo, scnt_hi]
+            else:
+                n_send_sides += [scnt_lo, scnt_hi]
+
+        # Ghost slot reconstruction: dead slots are consumed in ascending
+        # row order with disjoint, increasing offsets per merge — so among
+        # activated (!owned & alive) rows in row order, the first
+        # ghost_cnts[0] are side-0 ghosts, the next ghost_cnts[1] side-1's,
+        # and so on.
         act = state.alive & (~state.owned)
         act_rank = jnp.cumsum(act.astype(jnp.int32)) - 1
-        slot_l = jnp.where(act & (act_rank < gcnt_l), act_rank, -1)
-        slot_r = jnp.where(act & (act_rank >= gcnt_l), act_rank - gcnt_l, -1)
+        ghost_slots = []
+        lo_bound = jnp.zeros((1,), jnp.int32)
+        for cnt in ghost_cnts:
+            hi_bound = lo_bound + cnt
+            in_side = act & (act_rank >= lo_bound) & (act_rank < hi_bound)
+            ghost_slots.append(jnp.where(in_side, act_rank - lo_bound, -1))
+            lo_bound = hi_bound
 
         # ---- sort into the local cell grid, carrying the markers ----
-        extra = dict(send_l=send_slot_l, send_r=send_slot_r,
-                     slot_l=slot_l, slot_r=slot_r)
-        state, grid_data, extra = gridlib.build(state, self.geom, extra=extra)
+        extra = dict(send=jnp.stack(send_slots), ghost=jnp.stack(ghost_slots))
+        extra = jax.tree_util.tree_map(lambda a: a.T, extra)  # (n, S) for sort
+        state, grid_data, extra = gridlib.build(state, self.geom, extra=extra,
+                                                nbuilds=nbuilds)
+        extra = jax.tree_util.tree_map(lambda a: a.T, extra)  # back to (S, n)
 
         def rows_from_slots(slots):
             valid = slots >= 0
-            tgt = jnp.where(valid, slots, spec.ghost_cap)
-            return jnp.full((spec.ghost_cap,), n, jnp.int32).at[tgt].set(
+            tgt = jnp.where(valid, slots, gcap)
+            return jnp.full((gcap,), n, jnp.int32).at[tgt].set(
                 jnp.arange(n, dtype=jnp.int32), mode="drop")
 
+        nsides = 2 * spec.naxes
         aux = DistAux(
             grid=grid_data,
-            send_left=rows_from_slots(extra["send_l"]),
-            send_right=rows_from_slots(extra["send_r"]),
-            n_send_left=scnt_l, n_send_right=scnt_r,
-            ghost_left=rows_from_slots(extra["slot_l"]),
-            ghost_right=rows_from_slots(extra["slot_r"]),
-            n_ghost_left=gcnt_l, n_ghost_right=gcnt_r,
+            send_rows=jnp.stack([rows_from_slots(extra["send"][s])
+                                 for s in range(nsides)]),
+            n_send=jnp.stack(n_send_sides),
+            ghost_rows=jnp.stack([rows_from_slots(extra["ghost"][s])
+                                  for s in range(nsides)]),
+            n_ghost=jnp.stack(ghost_cnts),
             # fold in the per-brick cell-grid overflow too (a dense brick
             # cell beyond cap silently drops pairs — must surface, CLAUDE.md
             # invariant), plus any overflow carried from earlier rebuilds
-            overflow=(mov_l + mov_r + sov_l + sov_r + ov1 + ov2 + ov3 + ov4
-                      + grid_data.overflow
-                      + (0 if prev_overflow is None else prev_overflow)),
+            overflow=overflow + grid_data.overflow,
         )
         return state, aux
 
     def _wrap_other_axes(self, x):
         wrapped = self.box_global.wrap(x)
-        ax = self.spec.axis_dim
-        return wrapped.at[:, ax].set(x[:, ax])
+        for ax in self.spec.axes:
+            wrapped = wrapped.at[:, ax].set(x[:, ax])
+        return wrapped
 
 
 # --------------------------------------------------------------------------
 # Host-side setup
 # --------------------------------------------------------------------------
 
+def choose_brick_shape(box: Box, ndev: int, margin: float, dim: int,
+                       axis_dim: int = 0) -> Tuple[Tuple[int, ...],
+                                                   Tuple[int, ...]]:
+    """(axes, shape) for ndev bricks: prefer 1D along ``axis_dim``; when the
+    margin doesn't fit (width <= margin), factor ndev over more axes —
+    the reference's procgrid choice (comm.cpp setup), preferring the most
+    cubic feasible factorization."""
+    lo = np.asarray(box.lo, np.float64)
+    hi = np.asarray(box.hi, np.float64)
+    length = hi - lo
+    # stay 1D only when the bricks are comfortably wider than the margin
+    # (a brick barely wider than the halo ghosts its whole volume)
+    if length[axis_dim] / ndev > 1.5 * margin:
+        return (axis_dim,), (ndev,)
+    cand_axes = [a for a in range(dim) if length[a] > 0]
+    best = None
+    for axes in _axis_subsets(cand_axes, axis_dim):
+        for shape in _factorizations(ndev, len(axes)):
+            widths = [length[a] / s for a, s in zip(axes, shape)]
+            if min(widths) <= margin:
+                continue
+            score = min(widths)  # maximize the narrowest brick
+            if best is None or score > best[0]:
+                best = (score, tuple(axes), tuple(shape))
+    if best is None:
+        raise ValueError(
+            f"no brick decomposition of {ndev} devices fits this box with "
+            f"halo margin {margin} (every factorization has a brick "
+            "width <= margin). Use fewer devices or a larger box.")
+    return best[1], best[2]
+
+
+def _axis_subsets(cand, first):
+    out = []
+    rest = [a for a in cand if a != first]
+    out.append([first])
+    for r in rest:
+        out.append(sorted([first, r]))
+    if len(rest) >= 2:
+        out.append(sorted([first] + rest[:2]))
+    return out
+
+
+def _factorizations(n, k):
+    if k == 1:
+        return [(n,)]
+    out = []
+    for f in range(1, n + 1):
+        if n % f == 0:
+            for tail in _factorizations(n // f, k - 1):
+                out.append((f,) + tail)
+    return out
+
+
 def make_brick_spec(box: Box, ndev: int, cutoff: float, skin: float,
                     n_particles: int, axis_dim: int = 0,
+                    shape: Tuple[int, ...] | None = None,
+                    axes: Tuple[int, ...] | None = None,
                     ghost_cap: int | None = None,
                     migrate_cap: int | None = None) -> BrickSpec:
-    lo = float(np.asarray(box.lo)[axis_dim])
-    hi = float(np.asarray(box.hi)[axis_dim])
-    width = (hi - lo) / ndev
     margin = cutoff + skin
-    if margin >= width:
-        raise ValueError(
-            f"halo margin {margin} >= brick width {width}: too many bricks "
-            f"for this box/cutoff (need width > cutoff + skin)")
+    if shape is None:
+        axes, shape = choose_brick_shape(
+            box, ndev, margin, dim=3, axis_dim=axis_dim)
+    elif axes is None:
+        axes = tuple(range(len(shape)))
+    if int(np.prod(shape)) != ndev:
+        raise ValueError(f"brick shape {shape} does not tile {ndev} devices")
+    lo_g = np.asarray(box.lo, np.float64)
+    hi_g = np.asarray(box.hi, np.float64)
+    widths = []
+    for a, s in zip(axes, shape):
+        w = (hi_g[a] - lo_g[a]) / s
+        if s > 1 and margin >= w:
+            raise ValueError(
+                f"halo margin {margin} >= brick width {w} along axis {a}: "
+                "too many bricks for this box/cutoff")
+        widths.append(float(w))
     if ghost_cap is None:
         per_brick = max(n_particles // ndev, 1)
-        frac = min(margin / width, 1.0)
-        ghost_cap = int(math.ceil(per_brick * frac * 3.0 / 8.0) * 8) + 8
+        frac = max(min(margin / w, 1.0) for w in widths)
+        # later axes' slabs include earlier axes' ghosts -> extra headroom
+        ghost_cap = int(math.ceil(per_brick * frac * 3.5 / 8.0) * 8) + 16
     if migrate_cap is None:
         migrate_cap = max(int(ghost_cap), 16)
-    return BrickSpec(ndev=ndev, axis_dim=axis_dim, lo=lo, width=width,
+    return BrickSpec(ndev=ndev, axes=tuple(int(a) for a in axes),
+                     shape=tuple(int(s) for s in shape),
+                     lo=tuple(float(lo_g[a]) for a in axes),
+                     width=tuple(widths),
                      margin=margin, ghost_cap=int(ghost_cap),
                      migrate_cap=int(migrate_cap),
-                     periodic=box.periodic[axis_dim])
+                     periodic=tuple(bool(box.periodic[a]) for a in axes))
 
 
 def choose_local_cap(spec: BrickSpec, counts_max: int) -> int:
-    """Pool capacity per brick: peak occupancy + ghosts + migration slack."""
-    cap = counts_max + 2 * spec.ghost_cap + 2 * spec.migrate_cap
+    """Pool capacity per brick: peak occupancy + ghost buffers (one pair per
+    decomposed axis, disjoint merge offsets) + migration slack."""
+    cap = counts_max + 2 * spec.naxes * spec.ghost_cap \
+        + 2 * spec.naxes * spec.migrate_cap
     return ((cap + 127) // 128) * 128
 
 
@@ -423,10 +590,12 @@ def partition_state(staged: dict, spec: BrickSpec, mesh: Mesh,
     """Scatter host-staged arrays onto the mesh in brick-local coordinates:
     global shape (ndev * local_cap, ...), sharded along axis 0."""
     x = np.asarray(staged["x"], np.float32).copy()
-    ax = spec.axis_dim
-    owner = np.clip(((x[:, ax] - spec.lo) / spec.width).astype(int),
-                    0, spec.ndev - 1)
-    x[:, ax] -= spec.lo + owner * spec.width  # brick-local
+    owner = np.zeros(len(x), np.int64)
+    for k, ax in enumerate(spec.axes):
+        c = np.clip(((x[:, ax] - spec.lo[k]) / spec.width[k]).astype(int),
+                    0, spec.shape[k] - 1)
+        x[:, ax] -= spec.lo[k] + c * spec.width[k]  # brick-local
+        owner = owner * spec.shape[k] + c
     counts = np.bincount(owner, minlength=spec.ndev)
     if local_cap is None:
         local_cap = choose_local_cap(spec, int(counts.max()))
@@ -573,5 +742,7 @@ def globalize_positions(x_host: np.ndarray, spec: BrickSpec,
     x = np.array(x_host, np.float32)
     rows = np.arange(len(x))
     brick = rows // local_cap
-    x[:, spec.axis_dim] += spec.lo + brick * spec.width
+    coords = spec.coords_of(brick)
+    for k, ax in enumerate(spec.axes):
+        x[:, ax] += spec.lo[k] + coords[k] * spec.width[k]
     return x
