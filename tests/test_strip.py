@@ -1,0 +1,160 @@
+"""Strip-kernel (ops/strip_pair) equivalence vs the XLA cell-grid backend
+(itself validated against the dense O(N^2) oracle). Interpret mode on CPU;
+the same kernels compile via Mosaic on TPU (TPUSPH_TEST_TPU=1).
+
+The strip backend stores state z-SORTED per xy-column with seam-ghost bands
+(owned=False rows), so comparisons join on particle tag over alive & OWNED
+rows only."""
+
+import numpy as np
+import pytest
+import jax
+
+from tpusph import kernels
+from tpusph.forces import compute_forces
+from tpusph.ops.strip_pair import (
+    StripBackend, build_strips, choose_strip_geometry)
+from tpusph.ops.cellgrid import CellGridBackend
+from tpusph import grid as gridlib
+from tpusph.params import PhysicsSpec
+
+from test_pallas import lattice_system
+
+NSIDE = 12  # box must be at least 2x the seam-ghost depth along z
+
+
+def by_tag(state, *fields):
+    dev = jax.device_get(state)
+    keep = (np.asarray(dev.type) > 0) & np.asarray(dev.owned)
+    order = np.argsort(np.asarray(dev.tag)[keep], kind="stable")
+    out = []
+    for f in fields:
+        arr = np.asarray(getattr(dev, f))
+        out.append(arr[keep][order])
+    return out
+
+
+def run_cellgrid_stage(st, box, tables, spec):
+    geom = gridlib.make_geometry(box, tables.max_cut(), spec.dim, skin=0.2,
+                                 cap=64)
+    cgb = CellGridBackend(geom)
+    st_s, data = cgb.init_aux(st, box)
+    assert int(data.overflow[0]) == 0
+    return compute_forces(st_s, tables, spec, box, cgb, istep=0, aux=data)
+
+
+def run_strip_stage(st, box, tables, spec, skin=0.2):
+    x = np.asarray(st.x)[np.asarray(st.type) > 0]
+    geom = choose_strip_geometry(box, tables.max_cut(), spec.dim, skin, x=x)
+    assert geom is not None, "strip geometry must exist for this box"
+    sb = StripBackend(geom, box, ntypes=tables.ntypes, interpret=True)
+    st_b, data = sb.init_aux(st, box)
+    assert int(data.overflow[0]) == 0
+    return sb.force_stage(st_b, tables, spec, box, data, istep=0)
+
+
+@pytest.mark.parametrize("dim", [2, 3])
+@pytest.mark.parametrize("periodic", [True, False])
+def test_strip_matches_cellgrid(dim, periodic):
+    st, box, tables = lattice_system(dim, nside=NSIDE, periodic=periodic,
+                                     seed=dim + 40)
+    spec = PhysicsSpec(dim=dim, kernel=kernels.WENDLAND_C2, tait=True,
+                       heatconduction=True, surface_tension=True,
+                       rhosum_every=1)
+    out_c = run_cellgrid_stage(st, box, tables, spec)
+    out_s = run_strip_stage(st, box, tables, spec)
+
+    (tc,) = by_tag(out_c, "tag")
+    (ts,) = by_tag(out_s, "tag")
+    np.testing.assert_array_equal(tc, ts)
+    for field, rtol, atol in (("rho", 2e-5, 1e-6), ("f", 2e-4, 5e-4),
+                              ("drho", 2e-4, 1e-4), ("de", 2e-4, 5e-4)):
+        (a,) = by_tag(out_c, field)
+        (b,) = by_tag(out_s, field)
+        np.testing.assert_allclose(b, a, rtol=rtol, atol=atol,
+                                   err_msg=field)
+
+
+def test_strip_variants_match_cellgrid():
+    st, box, tables = lattice_system(3, nside=NSIDE, seed=51)
+    for spec in (
+        PhysicsSpec(dim=3, kernel=kernels.LUCY, morris=True, tait=False),
+        PhysicsSpec(dim=3, kernel=kernels.LUCY, ideal_gas=True, tait=False),
+        PhysicsSpec(dim=3, kernel=kernels.LUCY, lj=True, tait=False),
+    ):
+        out_c = run_cellgrid_stage(st, box, tables, spec)
+        out_s = run_strip_stage(st, box, tables, spec)
+        for field in ("f", "de", "drho"):
+            (a,) = by_tag(out_c, field)
+            (b,) = by_tag(out_s, field)
+            np.testing.assert_allclose(b, a, rtol=2e-4, atol=5e-4,
+                                       err_msg=field)
+
+
+def test_strip_dynamics_matches_cellgrid():
+    """A short dynamic run (rebuilds firing, seam ghosts re-made, particles
+    crossing the periodic z seam) through the Simulation API must agree
+    between strip and cellgrid backends."""
+    from tpusph.api import Simulation
+
+    def make(backend):
+        sim = Simulation(dim=3, screen=False)
+        sim.backend_name = backend
+        rng = np.random.default_rng(7)
+        side, dx = 14, 0.5
+        ax = np.arange(side) * dx
+        g = np.stack(np.meshgrid(ax, ax, ax, indexing="ij"), -1).reshape(-1, 3)
+        g = g + rng.uniform(-0.05, 0.05, g.shape)
+        L = side * dx
+        sim.create_box([0, 0, 0], [L, L, L], periodic=(True,) * 3, ntypes=1)
+        v = rng.normal(0, 0.05, g.shape)
+        v[:, 2] += 0.3   # net drift through the z seam
+        sim.add_particles(g.astype(np.float32), 1, v=v.astype(np.float32),
+                          rho=1.0, e=1.0, cv=1.0, rmass=0.125)
+        sim.pair_rhosum(1)
+        sim.pair_taitwater()
+        sim.tables.set_taitwater(1, 1, rho0=1.0, c0=8.0, viscosity=0.3,
+                                 h=2.2 * dx)
+        sim.tables.set_rhosum(1, 1, h=2.2 * dx)
+        sim.neighbor_skin = 0.25
+        sim.dt = 5e-4
+        sim.thermo(0)
+        sim.run(40)
+        return sim
+
+    sim_s = make("strip")
+    from tpusph.ops.strip_pair import StripBackend as SB
+    assert isinstance(sim_s._backend_cache["backend"], SB)
+    sim_c = make("cellgrid")
+    for field in ("x", "v", "rho", "e"):
+        a = sim_c.get(field)
+        b = sim_s.get(field)
+        np.testing.assert_allclose(b, a, rtol=5e-4, atol=5e-4, err_msg=field)
+
+
+def test_strip_overflow_counts_and_drops():
+    """A deliberately tiny column capacity must COUNT the overflow (the
+    host check aborts) rather than silently mis-sum."""
+    st, box, tables = lattice_system(3, nside=NSIDE, seed=3)
+    x = np.asarray(st.x)[np.asarray(st.type) > 0]
+    geom = choose_strip_geometry(box, tables.max_cut(), 3, 0.2, x=x)
+    # enough total slots to resize, but per-column room far below the
+    # measured occupancy + ghost bands
+    tight = geom._replace(col_cap=128)
+    sb = StripBackend(tight, box, ntypes=2, interpret=True)
+    st_b = sb.resize(st)
+    st_b, data = build_strips(st_b, tight, box)
+    assert int(data.overflow[0]) > 0
+
+
+def test_strip_window_violation_detected():
+    """Margins that no longer cover cutoff+skin along z must raise the
+    overflow counter (the coverage check), not silently miss pairs."""
+    st, box, tables = lattice_system(3, nside=NSIDE, seed=3)
+    x = np.asarray(st.x)[np.asarray(st.type) > 0]
+    geom = choose_strip_geometry(box, tables.max_cut(), 3, 0.2, x=x)
+    squeezed = geom._replace(mlo=1, mhi=1, margin_dist=geom.margin_dist * 4)
+    sb = StripBackend(squeezed, box, ntypes=2, interpret=True)
+    st_b = sb.resize(st)
+    st_b, data = build_strips(st_b, squeezed, box)
+    assert int(data.overflow[0]) > 0

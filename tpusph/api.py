@@ -286,20 +286,25 @@ class Simulation:
         from tpusph.ops import dense
         name = self.backend_name
         if name == "auto":
-            # dense below ~2k particles; above: the banded Pallas kernel on
-            # TPU (slot-resident state, ~4-6x the column kernel; falls back
-            # to the column kernel when phase change needs the particle
-            # pool or the box is too small to band), XLA cell grid elsewhere
+            # dense below ~2k particles; above on TPU: the strip kernel
+            # (z-sorted dense columns, ops/strip_pair) with band -> column
+            # fallbacks when the box can't strip/band or phase change needs
+            # the particle pool; XLA cell grid elsewhere
             n = self.natoms
             if n <= 2048:
                 name = "dense"
             elif jax.default_backend() == "tpu" and self.tables.ntypes <= 6:
                 name = "pallas" if self.phase_change_config is not None \
-                    else "band"
+                    else "strip"
             else:
                 name = "cellgrid"
         if name == "dense":
             return dense
+        if name == "strip":
+            backend = self._select_strip_backend()
+            if backend is not None:
+                return backend
+            name = "band"
         if name == "band":
             backend = self._select_band_backend()
             if backend is not None:
@@ -338,6 +343,35 @@ class Simulation:
                 self.aux = None
             return self._backend_cache["backend"]
         raise ValueError(f"unknown backend '{name}'")
+
+    def _select_strip_backend(self):
+        """Strip backend (ops/strip_pair: z-sorted dense columns) — or None
+        when the configuration can't strip (phase-change pool, >6 types, or
+        a box too small for the seam-ghost bands)."""
+        if self.phase_change_config is not None or self.tables.ntypes > 6:
+            return None
+        from tpusph.ops.strip_pair import StripBackend, choose_strip_geometry
+        cutoff = self.tables.max_cut()
+        skin = self.neighbor_skin if self.neighbor_skin is not None \
+            else 0.3 * cutoff
+        gkey = ("strip", cutoff, skin, self.natoms, self.spec.dim)
+        if getattr(self, "_strip_geom_key", None) != gkey:
+            if self.state is not None:
+                self._pull_state()
+            x = np.asarray(self._staged["x"])
+            self._strip_geom_key = gkey
+            self._strip_geom = choose_strip_geometry(
+                self.box, cutoff, self.spec.dim, skin, x=x)
+        geom = self._strip_geom
+        if geom is None:
+            return None
+        key = ("strip", geom, self.reneigh_every)
+        if self._backend_cache.get("key") != key:
+            backend = StripBackend(geom, self.box, ntypes=self.tables.ntypes,
+                                   rebuild_every=self.reneigh_every)
+            self._backend_cache = dict(key=key, backend=backend)
+            self.aux = None
+        return self._backend_cache["backend"]
 
     def _select_band_backend(self):
         """Banded slot-resident backend (ops/band_pair) — or None when the

@@ -433,254 +433,39 @@ def _plane_shift(geom: BandGeometry, ox: int, oy: int, cidx):
 def make_band_kernel(geom: BandGeometry, spec: PhysicsSpec, ntypes: int,
                      sweep: str, interpret: bool = False):
     """Build the pallas_call for one sweep: 'force' | 'rho' | 'cgrad'.
-    Mirrors ops/pair_terms.py term by term (see module docstring); the
-    hoisting of per-particle factors is the only structural difference from
-    ops/pallas_pair.make_column_kernel."""
+    The pair physics lives in ops/tile_physics.py (shared with the strip
+    kernel), which mirrors ops/pair_terms.py term by term."""
+    from tpusph.ops import tile_physics
+
     gc = geom.gc
     W = geom.w_pad
     T1 = ntypes + 1
     offs = _neighbor_offsets(geom)
-    dim3 = geom.dim == 3
-    w_fn = kernels.kernel_w(spec.kernel, spec.dim)
-    wfd_fn = kernels.kernel_wfd(spec.kernel, spec.dim)
-    n_out = {"rho": 1, "cgrad": 3, "force": 5}[sweep]
-    _ORDER = list(_TABLES_2D) + list(_TABLES_1D)
+    n_out = tile_physics.SWEEP_N_OUT[sweep]
 
     def kernel(scal_ref, tabs_ref, i_ref, *refs):
         out_ref = refs[-1]
         band_refs = refs[:-1]
         cidx = pl.program_id(0)
-
-        tabs2d = {}
-        ti = 0
-        for name in _TABLES_2D:
-            tabs2d[name] = tabs_ref[ti * 8: ti * 8 + T1, :T1]
-            ti += 1
-        vec_cols = {}
-        vec_rows = {}
-        for name in _TABLES_1D:
-            blk = tabs_ref[ti * 8: ti * 8 + 8, :]
-            vec_cols[name] = blk[:T1, 0:1]     # (T1, 1)
-            vec_rows[name] = blk[7:8, :T1]     # (1, T1)
-            ti += 1
-
+        tabs2d, vec_cols, vec_rows = tile_physics.unpack_tables(tabs_ref, T1)
         i_tile = i_ref[0, 0]                   # (gc, F)
 
         def _body(i_tile):
-            def icol(r):
-                return i_tile[:, r:r + 1]       # (gc, 1)
-
-            it = icol(RTYPE)
-            oh_i = _onehot(i_tile[:, RTYPE], T1)          # (gc, T1)
-
-            def ci_1d(name):
-                if name in spec.scalar_tables:
-                    return scal_ref[_ORDER.index(name)]
-                return jnp.dot(oh_i, vec_cols[name],
-                               preferred_element_type=jnp.float32)  # (gc,1)
-
-            # ---- hoisted per-i quantities (sanitized for dead rows) ----
-            alive_i = it > 0.5
-            rho_i = jnp.where(alive_i, icol(RRHO), 1.0)
-            m_i = jnp.where(alive_i, icol(RM), 1.0)
-            e_i = icol(RE)
-            inv_rho_i = 1.0 / rho_i
-            hoist_i = {}
-            if sweep == "force" and (spec.tait or spec.morris
-                                     or spec.ideal_gas or spec.lj):
-                hoist_i["fi"] = _eos_over_rhosq(
-                    rho_i, e_i, m_i, ci_1d("rho0"), ci_1d("tait_b"),
-                    ci_1d("gas_gamma"), spec)
-                if spec.lj or (spec.ideal_gas and not spec.tait):
-                    hoist_i["ci"] = _gas_sound_speed(
-                        rho_i, e_i, m_i, ci_1d("gas_gamma"), spec)
-                else:
-                    hoist_i["ci"] = ci_1d("c0")
-            if sweep == "force" and spec.surface_tension:
-                cgx_i, cgy_i, cgz_i = icol(RCGX), icol(RCGY), icol(RCGZ)
-                cg2_i = cgx_i * cgx_i + cgy_i * cgy_i + cgz_i * cgz_i
-                inv_nr_i = 1.0 / (jnp.sqrt(jnp.maximum(cg2_i, 1e-12))
-                                  * rho_i * rho_i)
-                hoist_i["st"] = (cgx_i, cgy_i, cgz_i,
-                                 cg2_i * inv_nr_i / spec.dim, inv_nr_i)
-            if sweep == "cgrad":
-                hoist_i["color"] = ci_1d("color")
-
+            lk = tile_physics.Lookups(scal_ref, tabs2d, vec_cols, vec_rows,
+                                      spec, T1)
+            hoist = tile_physics.hoist_i(i_tile, lk, spec, sweep)
             accs = [jnp.zeros((gc,), jnp.float32) for _ in range(n_out)]
             for kk, (ox, oy) in enumerate(offs):
                 sx, sy = _plane_shift(geom, ox, oy, cidx)
                 j_tile = band_refs[kk][0, 0]    # (F, W)
-                parts = _part_sums(
-                    i_tile, j_tile, (sx, sy), oh_i, ci_1d, hoist_i,
-                    alive_i, rho_i, m_i, inv_rho_i)
+                parts = tile_physics.tile_part_sums(
+                    i_tile, j_tile, (sx, sy), hoist, lk, spec, sweep, True)
                 accs = [a + p for a, p in zip(accs, parts)]
 
             out_rows = {"rho": (ORHO,), "cgrad": (OCGX, OCGY, ODE),
                         "force": (OFX, OFY, OFZ, ODRHO, ODE)}[sweep]
             for row, acc in zip(out_rows, accs):
                 out_ref[0, 0, :, row] = acc
-
-        def _part_sums(i_tile, j_tile, shift, oh_i, ci_1d, hoist_i,
-                       alive_i, rho_i, m_i, inv_rho_i):
-            """Physics of one (gc x W) neighbor band; returns n_out (gc,)
-            partial sums. Mirrors ops/pair_terms term by term."""
-            def icol(r):
-                return i_tile[:, r:r + 1]       # (gc, 1)
-
-            def jrow(r):
-                return j_tile[r, :][None, :]    # (1, W)
-
-            oh_jt = _onehot_t(j_tile[RTYPE, :], T1)       # (T1, W)
-
-            def c2d(name):
-                if name in spec.scalar_tables:
-                    return scal_ref[_ORDER.index(name)]
-                return jnp.dot(
-                    jnp.dot(oh_i, tabs2d[name],
-                            preferred_element_type=jnp.float32),
-                    oh_jt, preferred_element_type=jnp.float32)
-
-            def cj_1d(name):
-                if name in spec.scalar_tables:
-                    return scal_ref[_ORDER.index(name)]
-                return jnp.dot(vec_rows[name], oh_jt,
-                               preferred_element_type=jnp.float32)  # (1, W)
-
-            sx, sy = shift
-            # column-axis image shifts are baked into the band (pack_band);
-            # sy is 0 in 2D (the y axis IS the column axis there)
-            dx0 = icol(RX) - (jrow(RX) + sx)
-            dx1 = icol(RY) - (jrow(RY) + sy)
-            dx2 = icol(RZ) - jrow(RZ)
-            rsq = dx0 * dx0 + dx1 * dx1 + dx2 * dx2
-            jt = jrow(RTYPE)
-            alive_j = jt > 0.5
-            mask = (alive_i & alive_j) & (rsq > 1e-12)
-            r = jnp.sqrt(jnp.maximum(rsq, 1e-30))
-            m_j_raw = jrow(RM)
-
-            # hoisted per-j quantities (sanitized)
-            rho_j = jnp.where(alive_j, jrow(RRHO), 1.0)
-            m_j = jnp.where(alive_j, m_j_raw, 1.0)
-            inv_rho_j = 1.0 / rho_j
-            e_j = jrow(RE)
-
-            _ctx = {}
-
-            def term_ctx(cut_name):
-                key = "shared" if spec.shared_wfd else cut_name
-                if key not in _ctx:
-                    cut = c2d(cut_name)
-                    live = mask & (rsq < cut * cut) & (cut > 0.0)
-                    wfd = jnp.where(
-                        live, wfd_fn(r, jnp.maximum(cut, 1e-30)), 0.0)
-                    _ctx[key] = (cut, live, wfd)
-                return _ctx[key]
-
-            if sweep == "rho":
-                cut = c2d("cut_rho")
-                live = mask & (rsq < cut * cut) & (cut > 0.0)
-                w = w_fn(r, jnp.maximum(cut, 1e-30))
-                return (jnp.sum(jnp.where(live, m_j_raw * w, 0.0), axis=1),)
-
-            if sweep == "cgrad":
-                cut, live, wfd = term_ctx("cut_tension")
-                coef = jnp.where(
-                    live,
-                    c2d("sigma") * (m_j * inv_rho_j)
-                    * (cj_1d("color") - hoist_i["color"]) * wfd,
-                    0.0)
-                return (jnp.sum(coef * dx0, axis=1),
-                        jnp.sum(coef * dx1, axis=1),
-                        jnp.sum(coef * dx2, axis=1))
-
-            # ---- force sweep ----
-            f0 = f1 = f2 = drho = de = jnp.zeros((gc, W), jnp.float32)
-            dv0 = icol(RVX) - jrow(RVX)
-            dv1 = icol(RVY) - jrow(RVY)
-            dv2 = icol(RVZ) - jrow(RVZ)
-            dvdr = dv0 * dx0 + dv1 * dx1 + dv2 * dx2
-
-            if spec.tait or spec.morris or spec.ideal_gas or spec.lj:
-                cut, live, wfd = term_ctx("cut")
-                fi = hoist_i["fi"]                       # (gc, 1) hoisted
-                fj = _eos_over_rhosq(rho_j, e_j, m_j, cj_1d("rho0"),
-                                     cj_1d("tait_b"), cj_1d("gas_gamma"),
-                                     spec)               # (1, W) hoisted
-
-                if spec.morris:
-                    fvisc = jnp.where(
-                        live,
-                        (m_i * inv_rho_i) * (m_j * inv_rho_j)
-                        * 2.0 * c2d("visc") * wfd,
-                        0.0)
-                    fpair = jnp.where(live, -m_i * m_j * (fi + fj) * wfd, 0.0)
-                    f0 = f0 + fpair * dx0 + fvisc * dv0
-                    f1 = f1 + fpair * dx1 + fvisc * dv1
-                    f2 = f2 + fpair * dx2 + fvisc * dv2
-                    dvsq = dv0 * dv0 + dv1 * dv1 + dv2 * dv2
-                    de = de + jnp.where(
-                        live, -0.5 * (fpair * dvdr + fvisc * dvsq), 0.0)
-                else:
-                    h_ij = jnp.maximum(cut, 1e-30)
-                    mu = h_ij * dvdr / (rsq + 0.01 * h_ij * h_ij)
-                    ci = hoist_i["ci"]                   # (gc, 1) hoisted
-                    if spec.lj or (spec.ideal_gas and not spec.tait):
-                        cj = _gas_sound_speed(rho_j, e_j, m_j,
-                                              cj_1d("gas_gamma"), spec)
-                    else:
-                        cj = cj_1d("c0")
-                    fvisc = jnp.where(
-                        dvdr < 0.0,
-                        -c2d("visc") * (ci + cj) * mu / (rho_i + rho_j),
-                        0.0)
-                    fpair = jnp.where(
-                        live, -m_i * m_j * (fi + fj + fvisc) * wfd, 0.0)
-                    f0 = f0 + fpair * dx0
-                    f1 = f1 + fpair * dx1
-                    f2 = f2 + fpair * dx2
-                    de = de + jnp.where(live, -0.5 * fpair * dvdr, 0.0)
-
-                if spec.continuity:
-                    drho = drho + jnp.where(live, m_j_raw * dvdr * wfd, 0.0)
-
-            if spec.heatconduction or spec.heat_phasechange:
-                cut, live, wfd = term_ctx("cut_heat")
-                # (rho_i+rho_j)/(rho_i*rho_j) == 1/rho_i + 1/rho_j: one
-                # division hoisted per side instead of one per pair
-                coef = (2.0 * m_i * m_j / (m_i + m_j)) * \
-                    (inv_rho_i + inv_rho_j)
-                ediff = icol(RE) - e_j
-                if spec.heat_phasechange:
-                    # tsat > 0 pairs conduct against cv_i*T_sat (interface
-                    # pinning — pair_terms.py is the statement of record)
-                    tsat = c2d("tsat")
-                    ediff = jnp.where(tsat > 0.0,
-                                      icol(RE) - icol(RCV) * tsat, ediff)
-                de = de + jnp.where(
-                    live, coef * c2d("heat_D") * ediff * wfd, 0.0)
-
-            if spec.surface_tension:
-                cut, live, wfd = term_ctx("cut_tension")
-                coef = jnp.where(live, m_i * m_j * wfd, 0.0)
-                cgx_i, cgy_i, cgz_i, a_i, b_i = hoist_i["st"]
-                cgx_j = jrow(RCGX)
-                cgy_j = jrow(RCGY)
-                cgz_j = jrow(RCGZ)
-                cg2_j = cgx_j * cgx_j + cgy_j * cgy_j + cgz_j * cgz_j
-                inv_nr_j = 1.0 / (jnp.sqrt(jnp.maximum(cg2_j, 1e-12))
-                                  * rho_j * rho_j)
-                a_j = cg2_j * inv_nr_j / spec.dim
-
-                cdi = (cgx_i * dx0 + cgy_i * dx1 + cgz_i * dx2) * b_i
-                cdj = (cgx_j * dx0 + cgy_j * dx1 + cgz_j * dx2) * inv_nr_j
-                f0 = f0 + coef * ((a_i + a_j) * dx0 - cdi * cgx_i - cdj * cgx_j)
-                f1 = f1 + coef * ((a_i + a_j) * dx1 - cdi * cgy_i - cdj * cgy_j)
-                f2 = f2 + coef * ((a_i + a_j) * dx2 - cdi * cgz_i - cdj * cgz_j)
-
-            return (jnp.sum(f0, axis=1), jnp.sum(f1, axis=1),
-                    jnp.sum(f2, axis=1), jnp.sum(drho, axis=1),
-                    jnp.sum(de, axis=1))
 
         # empty i-group: nothing to compute or write (dead output slots are
         # masked by the caller before they reach state)
@@ -721,30 +506,6 @@ def make_band_kernel(geom: BandGeometry, spec: PhysicsSpec, ntypes: int,
     return call
 
 
-def _eos_over_rhosq(rho, e, rmass, rho0, b, gamma, spec: PhysicsSpec):
-    """p/rho^2 per particle — hoisted EOS, mirrors
-    pair_terms.eos_pressure_over_rhosq forms."""
-    if spec.lj:
-        from tpusph.ops import pair_terms as _pt
-        t = (gamma - 1.0) * e / rmass
-        denom = jnp.maximum(1.0 - _pt.LJ_VDW_B * rho, _pt.LJ_DENOM_FLOOR)
-        p = rho * t / denom - _pt.LJ_VDW_A * rho * rho
-    elif spec.ideal_gas and not spec.tait:
-        p = (gamma - 1.0) * rho * e / rmass
-    else:
-        q = rho / rho0
-        q3 = q * q * q
-        p = b * (q3 * q3 * q - 1.0)
-    return p / (rho * rho)
-
-
-def _gas_sound_speed(rho, e, rmass, gamma, spec: PhysicsSpec):
-    if spec.lj:
-        from tpusph.ops.pair_terms import lj_sound_speed
-        return lj_sound_speed(rho, e, rmass, gamma)
-    return jnp.sqrt(jnp.maximum(gamma * (gamma - 1.0) * e / rmass, 0.0))
-
-
 # --------------------------------------------------------------------------
 # backend
 # --------------------------------------------------------------------------
@@ -781,6 +542,13 @@ class BandBackend:
                 self.geom, spec, self.ntypes, sweep,
                 interpret=self.interpret)
         return self._calls[key]
+
+    # packer dispatch (overridden by the strip backend, ops/strip_pair)
+    def _pack_i(self, fields):
+        return pack_i(fields, self.geom)
+
+    def _pack_band(self, fields):
+        return pack_band(fields, self.geom)
 
     # -- lifecycle -----------------------------------------------------------
 
@@ -831,8 +599,8 @@ class BandBackend:
         tabs = pack_tables(tables)
 
         def run(sweep):
-            i_arr = pack_i(fields, geom)
-            band = pack_band(fields, geom)
+            i_arr = self._pack_i(fields)
+            band = self._pack_band(fields)
             out = self._call(spec, sweep)(tabs, i_arr, band)
             return out.reshape(n, 8)
 

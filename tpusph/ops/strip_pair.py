@@ -1,0 +1,605 @@
+"""Strip Pallas TPU pair kernels over z-sorted dense columns — the
+third-generation force path (same capability surface as ops/band_pair.py /
+ops/pallas_pair.py: all SPH pair styles of SURVEY §2.2-2.3).
+
+Why a third kernel shape
+------------------------
+Both earlier kernels bin particles into fixed-capacity cells, paying
+(a) slot waste capacity/occupancy (~1.25-1.5x) and (b) a z-window quantized
+to whole cells. The strip layout removes both:
+
+1. **Dense z-sorted columns.** The plane (xy in 3D, x in 2D) is split into
+   columns of side ~cutoff+skin, and particles are sorted by (column, z)
+   with ONE u32-key sort at rebuild. Within a column, row rank IS z order —
+   no per-cell capacity; dead slots only at the column tail.
+2. **Rank-based j-windows.** An i-tile is TS=64 consecutive rows (a
+   z-slab); its j-window in each of the 9 (3 in 2D) neighbor columns is
+   the rank interval [TS*t - CH*mlo, TS*(t+1) + CH*mhi) — margins measured
+   from the actual z-density at geometry-choice time so the window just
+   covers cutoff+skin. Windows are built XLA-side from CH=32-row chunks
+   via static rolls + stride-2 slices (no dynamic lane slicing, which
+   Mosaic cannot do). A rebuild-time coverage check counts violations into
+   the overflow counter (same surface-to-host contract as cell caps).
+3. **Seam-ghost bands instead of wrapped windows.** A periodic column axis
+   is handled by writing shifted copies of the seam particles into
+   reserved head/tail bands of each column at rebuild (state rows with
+   ``owned=False`` — the same ghost convention as the dist halo). The copy
+   depth is 2x(cutoff+skin): the inner ghost shell (all any real particle
+   ever sees) then has a complete neighborhood itself, so it evolves
+   EXACTLY like its source between rebuilds by translation invariance; the
+   outer shell's O(dt^2) drift reaches real particles only at O(dt^4) per
+   step — far below f32 roundoff for any CFL-stable dt. This deletes every
+   wrap special case from the window builder and the kernel.
+
+Issued lane-ops per particle ~ 9 * 32*(mlo+2+mhi) ~ 2300 at the 1M bench
+geometry vs ~4300 for the column kernel and ~5800 for the band.
+
+The pair physics is ops/tile_physics.py (shared with the band kernel),
+which mirrors ops/pair_terms.py term by term; equivalence tests
+(tests/test_strip.py) enforce agreement with the cell-grid/dense oracles.
+
+Reference analog: the sorted neighbor-bin machinery of src/neighbor.cpp +
+the pair-style inner loops (SURVEY §2.5, §3.2 HOT #1), re-shaped for the
+VPU's (8, 128) tiles instead of per-atom neighbor lists.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from tpusph import grid as gridlib
+from tpusph.ops.band_pair import (
+    BandBackend, _band_index_map, _neighbor_offsets, _plane_shift,
+    _field_list, needs_rebuild,
+)
+from tpusph.ops.pallas_pair import (
+    F_ROWS, RTYPE, OFX, OFY, OFZ, ODRHO, ODE, ORHO, OCGX, OCGY,
+)
+from tpusph.params import PhysicsSpec
+from tpusph.state import Box, ParticleState
+
+TS = 64       # i-tile rows (one z-slab of a column)
+CH = 32       # window chunk rows (window offsets are CH-aligned)
+
+
+class StripGeometry(NamedTuple):
+    """Static strip-kernel geometry (hashable, part of the jit cache key).
+    Duck-types the BandGeometry fields _band_index_map/_plane_shift use
+    (ncx, ncy, dim, periodic, lengths, ncols)."""
+    ncx: int
+    ncy: int            # 1 in 2D
+    col_cap: int        # slots per column, multiple of TS
+    head: int           # reserved head rows (top-seam ghost band), CH-mult
+    mlo: int            # margin chunks (CH rows) below an i-tile's window
+    mhi: int            # margin chunks above
+    dim: int
+    periodic: tuple     # box periodicity (3,)
+    lengths: tuple      # global box lengths
+    origin: tuple
+    cell_xy: tuple      # column side along the plane axes
+    margin_dist: float  # cutoff + skin the margins must cover
+    skin: float
+
+    @property
+    def ncols(self) -> int:
+        return self.ncx * self.ncy if self.dim == 3 else self.ncx
+
+    @property
+    def col_axis(self) -> int:
+        return 2 if self.dim == 3 else 1
+
+    @property
+    def ntiles(self) -> int:
+        return self.col_cap // TS
+
+    @property
+    def n32(self) -> int:
+        return self.col_cap // CH
+
+    @property
+    def n_slots(self) -> int:
+        return self.ncols * self.col_cap
+
+    @property
+    def w(self) -> int:
+        return CH * (self.mlo + (TS // CH) + self.mhi)
+
+    @property
+    def nnbr(self) -> int:
+        return 9 if self.dim == 3 else 3
+
+    @property
+    def col_periodic(self) -> bool:
+        return bool(self.periodic[self.col_axis])
+
+    @property
+    def ghost_depth(self) -> float:
+        """Seam copy depth: 2x margin_dist (see module docstring §3)."""
+        return 2.0 * self.margin_dist
+
+
+def choose_strip_geometry(box: Box, cutoff: float, dim: int, skin: float,
+                          x: np.ndarray | None = None,
+                          headroom: float = 1.08) -> StripGeometry | None:
+    """Host-side geometry choice from the MEASURED particle distribution:
+    column capacity from per-column counts (+ seam-ghost bands), window
+    margins from the exact per-particle rank distance to the farthest
+    same-column neighbor within cutoff+skin. Returns None when the box
+    can't strip — callers fall back to the band/column kernels."""
+    if x is None or len(x) == 0:
+        return None
+    lo = np.asarray(box.lo, np.float64)
+    hi = np.asarray(box.hi, np.float64)
+    length = hi - lo
+    side = cutoff + skin
+    if side <= 0:
+        return None
+    col_axis = 2 if dim == 3 else 1
+    plane_axes = (0, 1) if dim == 3 else (0,)
+    nc = {a: max(int(length[a] // side), 1) for a in plane_axes}
+    ncols = int(np.prod([nc[a] for a in plane_axes]))
+    if ncols >= (1 << 12):
+        return None  # u32 sort key budget: 12 column bits + 20 z bits
+    lz = float(length[col_axis])
+    col_per = bool(box.periodic[col_axis])
+    depth = 2.0 * side
+    if col_per and lz < 2.0 * depth:
+        return None  # ghost bands would overlap across the column
+
+    x = np.asarray(x, np.float64)
+    cols = None
+    for a in plane_axes:
+        cc = np.clip(((x[:, a] - lo[a]) / (length[a] / nc[a])).astype(np.int64),
+                     0, nc[a] - 1)
+        cols = cc if cols is None else cols * nc[a] + cc
+    z = np.clip(x[:, col_axis] - lo[col_axis], 0.0, lz * (1 - 1e-9))
+
+    counts = np.bincount(cols, minlength=ncols)
+    nb2 = nt2 = 0
+    if col_per:
+        # seam-ghost band sizes: particles within `depth` of each face
+        nb2 = int(np.bincount(cols[z < depth], minlength=ncols).max())
+        nt2 = int(np.bincount(cols[z > lz - depth], minlength=ncols).max())
+    head = int(math.ceil((nt2 * headroom + 4) / CH)) * CH if col_per else 0
+    tail = int(math.ceil((nb2 * headroom + 4) / CH)) * CH if col_per else 0
+    col_cap = int(math.ceil(
+        (head + counts.max() * headroom + tail + CH) / TS)) * TS
+
+    # ---- exact CROSS-COLUMN rank margins --------------------------------
+    # A rank window indexed by i's tile must cover [z_i - side, z_i + side]
+    # in every NEIGHBOR column's slot space, whose z->slot map differs from
+    # the home column's wherever densities differ. Measure the exact need
+    # on the actual distribution: build the slot-space layout (ghost bands
+    # included) and searchsorted every (i, neighbor-column) pair, i
+    # subsampled every SUB rows (bounds the miss to SUB rows, absorbed by
+    # the +1 safety chunk).
+    order = np.lexsort((z, cols))
+    kc, kz = cols[order], z[order]
+    starts_r = np.concatenate([[0], np.cumsum(counts)])
+    rank_r = np.arange(len(kz)) - starts_r[kc]
+    slot_r = head + rank_r
+    ext_col = [kc]
+    ext_z = [kz]
+    ext_slot = [slot_r]
+    if col_per:
+        bot = kz < depth
+        ext_col.append(kc[bot])
+        ext_z.append(kz[bot] + lz)
+        ext_slot.append(head + counts[kc[bot]] + rank_r[bot])
+        top = kz > lz - depth
+        ext_col.append(kc[top])
+        ext_z.append(kz[top] - lz)
+        ext_slot.append(head - (counts[kc[top]] - rank_r[top]))
+    ec = np.concatenate(ext_col)
+    ez = np.concatenate(ext_z)
+    es = np.concatenate(ext_slot)
+    stride = 2.0 * lz + 2.0 * depth + 4.0
+    eorder = np.argsort(ec * stride + ez, kind="stable")
+    ec, ez, es = ec[eorder], ez[eorder], es[eorder]
+    ekeys = ec * stride + ez
+    # append a sentinel so searchsorted==len is addressable
+    ec_s = np.concatenate([ec, [-1]])
+    es_s = np.concatenate([es, [0]])
+
+    SUB = 8
+    qc, qz, qs = ec[::SUB], ez[::SUB], es[::SUB]
+    if dim == 3:
+        qcx, qcy = qc // nc[1], qc % nc[1]
+    else:
+        qcx, qcy = qc, np.zeros_like(qc)
+    need_lo = 0
+    need_hi = 0
+    offsets = ([(ox, oy) for ox in (-1, 0, 1) for oy in (-1, 0, 1)]
+               if dim == 3 else [(ox, 0) for ox in (-1, 0, 1)])
+    for ox, oy in offsets:
+        nx = qcx + ox
+        ny = qcy + oy
+        if box.periodic[0]:
+            nx = nx % nc[0]
+        if dim == 3 and box.periodic[1]:
+            ny = ny % nc[1]
+        valid = (nx >= 0) & (nx < nc[0])
+        if dim == 3:
+            valid &= (ny >= 0) & (ny < nc.get(1, 1))
+            ncq = nx * nc[1] + ny
+        else:
+            ncq = nx
+        ncq = np.where(valid, ncq, 0)
+        # below: window start (tile floor - CH*mlo) must reach the first
+        # neighbor slot with z >= z_i - side
+        ilo = np.searchsorted(ekeys, ncq * stride + (qz - side))
+        in_col = ec_s[ilo] == ncq
+        lo_slot = np.where(in_col & valid, es_s[ilo], np.iinfo(np.int32).max)
+        need_lo = max(need_lo, int(np.max((qs // TS) * TS - lo_slot)))
+        # above: window end (tile ceil + CH*mhi) must reach the last
+        # neighbor slot with z <= z_i + side
+        ihi = np.searchsorted(ekeys, ncq * stride + (qz + side),
+                              side="right") - 1
+        in_col = ec_s[ihi] == ncq
+        hi_slot = np.where(in_col & valid, es_s[ihi], np.iinfo(np.int32).min)
+        need_hi = max(need_hi, int(np.max(hi_slot - ((qs // TS) * TS + TS - 1))))
+
+    # +1 chunk absorbs the SUB-row subsampling and runtime drift
+    mlo = max(int(math.ceil(need_lo / CH)) + 1, 1)
+    mhi = max(int(math.ceil(need_hi / CH)) + 1, 1)
+    # margins beyond the column itself are pointless (out-of-range chunks
+    # are killed on the unwrapped index, so wide windows can't alias) —
+    # clamp, then reject only when the window cost beats band/column
+    n32 = col_cap // CH
+    mlo = min(mlo, n32)
+    mhi = min(mhi, n32)
+    if CH * (mlo + (TS // CH) + mhi) > 640:
+        return None  # density inhomogeneity too strong: band/column win
+    if dim == 3:
+        ncx, ncy = nc[0], nc[1]
+        cell_xy = (length[0] / ncx, length[1] / ncy)
+    else:
+        ncx, ncy = nc[0], 1
+        cell_xy = (length[0] / ncx, 0.0)
+    return StripGeometry(
+        ncx=int(ncx), ncy=int(ncy), col_cap=int(col_cap), head=int(head),
+        mlo=mlo, mhi=mhi, dim=dim, periodic=box.periodic,
+        lengths=tuple(float(v) for v in length),
+        origin=tuple(float(v) for v in lo),
+        cell_xy=tuple(float(v) for v in cell_xy),
+        margin_dist=float(side), skin=float(skin))
+
+
+# --------------------------------------------------------------------------
+# rebuild: one u32 key sort into dense z-ordered columns + seam ghosts
+# --------------------------------------------------------------------------
+
+def _plane_neighbor_perm(geom: StripGeometry, ox: int, oy: int):
+    """Host-side neighbor-column permutation for one plane offset:
+    (perm (ncols,) int, valid (ncols,) bool). Mirrors _band_index_map."""
+    cidx = np.arange(geom.ncols)
+    if geom.dim == 3:
+        cx, cy = cidx // geom.ncy, cidx % geom.ncy
+        nx, ny = cx + ox, cy + oy
+        if geom.periodic[0]:
+            nx = nx % geom.ncx
+        if geom.periodic[1]:
+            ny = ny % geom.ncy
+        valid = (nx >= 0) & (nx < geom.ncx) & (ny >= 0) & (ny < geom.ncy)
+        perm = np.where(valid, nx * geom.ncy + ny, 0)
+    else:
+        nx = cidx + ox
+        if geom.periodic[0]:
+            nx = nx % geom.ncx
+        valid = (nx >= 0) & (nx < geom.ncx)
+        perm = np.where(valid, nx, 0)
+    return perm, valid
+
+
+def column_id(x: jax.Array, geom: StripGeometry):
+    """(N, 3) positions -> (column id, z offset in [0, Lz))."""
+    origin = jnp.asarray(geom.origin, jnp.float32)
+    if geom.dim == 3:
+        axes, ncs = (0, 1), (geom.ncx, geom.ncy)
+        sizes = (geom.cell_xy[0], geom.cell_xy[1])
+    else:
+        axes, ncs = (0,), (geom.ncx,)
+        sizes = (geom.cell_xy[0],)
+    col = None
+    for a, sz, n in zip(axes, sizes, ncs):
+        cc = jnp.floor((x[:, a] - origin[a]) / sz).astype(jnp.int32)
+        cc = jnp.mod(cc, n) if geom.periodic[a] else jnp.clip(cc, 0, n - 1)
+        col = cc if col is None else col * n + cc
+    ca = geom.col_axis
+    lz = geom.lengths[ca]
+    z = jnp.clip(x[:, ca] - origin[ca], 0.0, lz * (1.0 - 1e-7))
+    return col, z
+
+
+def build_strips(state: ParticleState, geom: StripGeometry, box: Box,
+                 nbuilds=None):
+    """Sort owned particles into dense z-ordered columns (slot = col*cap +
+    head + rank) and write the seam-ghost bands. The strip analog of
+    grid.build; runs at rebuild cadence only. Positions wrap here
+    (Domain::pbc semantics). Overflows (column fuller than its band, or a
+    window that no longer covers cutoff+skin in z) are counted AND
+    surfaced — never silently dropped."""
+    n = state.capacity
+    assert n == geom.n_slots, (n, geom.n_slots)
+    cap = geom.col_cap
+    head = geom.head
+    ncols = geom.ncols
+    ca = geom.col_axis
+    lz = geom.lengths[ca]
+    depth = geom.ghost_depth
+
+    state = dataclasses.replace(state, x=box.wrap(state.x))
+    live = state.alive & state.owned          # previous ghosts are dropped
+    col, z = column_id(state.x, geom)
+    zq = jnp.minimum((z * (float(1 << 20) / lz)).astype(jnp.uint32),
+                     jnp.uint32((1 << 20) - 1))
+    col_u = jnp.where(live, col, ncols).astype(jnp.uint32)
+    key = col_u * jnp.uint32(1 << 20) + jnp.where(live, zq, 0)
+
+    idx = jnp.arange(n, dtype=jnp.int32)
+    key_s, perm = jax.lax.sort((key, idx), num_keys=1, is_stable=True)
+    col_s = (key_s >> jnp.uint32(20)).astype(jnp.int32)
+    z_s = z[perm]
+    live_s = col_s < ncols
+
+    counts = jnp.zeros(ncols + 1, jnp.int32).at[col_s].add(1)[:ncols]
+    starts = jnp.concatenate([
+        jnp.zeros(1, jnp.int32), jnp.cumsum(counts).astype(jnp.int32)])
+    col_c = jnp.minimum(col_s, ncols - 1)
+    rank = idx - starts[col_c]
+    count_c = counts[col_c]
+
+    ok = live_s & (head + rank < cap)
+    slot_main = jnp.where(ok, col_c * cap + head + rank, n)
+    overflow = jnp.sum(jnp.maximum(head + counts - cap, 0))
+
+    shift = jnp.zeros((3,), jnp.float32).at[ca].set(lz)
+    scatters = [(slot_main, jnp.zeros((3,), jnp.float32), True)]
+    if geom.col_periodic:
+        # bottom-face particles copied above the real band (z + Lz)
+        is_bot = live_s & (z_s < depth)
+        slot_b = head + count_c + rank
+        ok_b = is_bot & (slot_b < cap)
+        overflow = overflow + jnp.sum((is_bot & ~ok_b).astype(jnp.int32))
+        scatters.append((jnp.where(ok_b, col_c * cap + slot_b, n),
+                         shift, False))
+        # top-face particles copied below the real band (z - Lz)
+        is_top = live_s & (z_s > lz - depth)
+        slot_t = head - (count_c - rank)
+        ok_t = is_top & (slot_t >= 0)
+        overflow = overflow + jnp.sum((is_top & ~ok_t).astype(jnp.int32))
+        scatters.append((jnp.where(ok_t, col_c * cap + slot_t, n),
+                         -shift, False))
+
+    x_names = ("x",)
+
+    def build_field(name, a):
+        dest = jnp.zeros(a.shape, a.dtype)
+        src = a[perm]
+        for slot, shf, owned_val in scatters:
+            if name == "owned":
+                vals = jnp.full(src.shape, owned_val)
+            elif name in x_names and a.ndim == 2:
+                vals = src + shf[None, :]
+            else:
+                vals = src
+            dest = dest.at[slot].set(vals, mode="drop")
+        return dest
+
+    new_state = ParticleState(**{
+        f.name: build_field(f.name, getattr(state, f.name))
+        for f in dataclasses.fields(state)})
+
+    # --- window coverage check (the strip analog of the cell-cap bound) ---
+    zs = new_state.x[:, ca] - geom.origin[ca]
+    alive_slot = new_state.alive
+    big = jnp.float32(8.0 * lz + 8.0)
+    zf = jnp.where(alive_slot, zs, big).reshape(ncols, geom.n32, CH)
+    zl = jnp.where(alive_slot, zs, -big).reshape(ncols, geom.n32, CH)
+    zfirst = jnp.min(zf, axis=2)     # (ncols, n32)
+    zlast = jnp.max(zl, axis=2)
+    t_idx = jnp.arange(geom.ntiles)
+    ce = geom.margin_dist
+    n32 = geom.n32
+
+    def chunk_at(arr, off, fill):
+        ci = 2 * t_idx + off
+        oob = (ci < 0) | (ci >= n32)
+        v = arr[:, jnp.clip(ci, 0, n32 - 1)]
+        return jnp.where(oob[None, :], fill, v)
+
+    # the check is CROSS-COLUMN: a tile's window (same rank interval in
+    # every neighbor column) must cover [z_i - ce, z_i + ce] in each
+    # neighbor's own slot space. Running max-below / min-above catch alive
+    # rows hiding past dead zones (short columns).
+    zmax_below = jax.lax.cummax(zlast, axis=1)
+    zmin_above = jnp.flip(jax.lax.cummin(jnp.flip(zfirst, 1), axis=1), 1)
+    tile_alive = zfirst[:, ::2] < big * 0.5
+    zf_self = zfirst[:, ::2]
+    zl_self = zlast[:, 1::2]
+    bad = jnp.zeros(zf_self.shape, bool)
+    for ox, oy in _neighbor_offsets(geom):
+        perm, valid = _plane_neighbor_perm(geom, ox, oy)
+        vmask = jnp.asarray(valid)[:, None]
+        below_bad = chunk_at(zmax_below[jnp.asarray(perm)],
+                             -geom.mlo - 1, -big) > (zf_self - ce)
+        above_bad = chunk_at(zmin_above[jnp.asarray(perm)],
+                             2 + geom.mhi, big) < (zl_self + ce)
+        bad = bad | (vmask & (below_bad | above_bad))
+    viol = jnp.sum((tile_alive & bad).astype(jnp.int32))
+    overflow = (overflow + viol)[None]
+
+    if nbuilds is None:
+        nbuilds = jnp.zeros(1, jnp.int32)
+    rows = jnp.arange(n, dtype=jnp.int32)
+    data = gridlib.GridData(
+        cell_id=jnp.where(new_state.alive, rows // cap, ncols),
+        starts=jnp.arange(ncols + 1, dtype=jnp.int32) * cap,
+        counts=counts,
+        rank=rows % cap,
+        x_ref=new_state.x,
+        overflow=overflow,
+        nbuilds=nbuilds + 1)
+    return new_state, data
+
+
+# --------------------------------------------------------------------------
+# XLA-side packing: slot fields -> i-array and rank-window array
+# --------------------------------------------------------------------------
+
+def pack_i_strip(fields: dict, geom: StripGeometry) -> jax.Array:
+    """(ncols, ntiles, TS, F): the i-tiles. Pure reshape+stack."""
+    cols = _field_list(fields)
+    arr = jnp.stack(cols, axis=1)   # (n_slots, F)
+    return arr.reshape(geom.ncols, geom.ntiles, TS, F_ROWS)
+
+
+def pack_window_strip(fields: dict, geom: StripGeometry) -> jax.Array:
+    """(ncols + 1, ntiles, F, W): per (column, tile), the rank window
+    [TS*t - CH*mlo, TS*(t+1) + CH*mhi) assembled lane-wise from CH-row
+    chunks via static rolls + stride-2 slices (window chunk 2t+c is
+    roll(-c)[::2]). Out-of-column chunks are killed (type row zeroed) —
+    the periodic seam is handled by the ghost bands, not by wrapping. A
+    final all-dead sentinel column serves non-periodic plane edges."""
+    ncols, n32, ntiles = geom.ncols, geom.n32, geom.ntiles
+    t_idx = jnp.arange(ntiles)
+    offs = range(-geom.mlo, 2 + geom.mhi)
+
+    def window_one(f, row_id):
+        C = f.reshape(ncols, n32, CH)
+        pieces = []
+        for c in offs:
+            D = jnp.roll(C, -c, axis=1)[:, ::2][:, :ntiles]
+            if row_id == RTYPE:
+                ci = 2 * t_idx + c
+                oob = ((ci < 0) | (ci >= n32))[None, :, None]
+                D = jnp.where(oob, 0.0, D)
+            pieces.append(D)
+        return jnp.concatenate(pieces, axis=-1)   # (ncols, ntiles, W)
+
+    cols = _field_list(fields)
+    win = jnp.stack([window_one(f, r) for r, f in enumerate(cols)], axis=2)
+    sentinel = jnp.zeros((1,) + win.shape[1:], jnp.float32)
+    return jnp.concatenate([win, sentinel], axis=0)
+
+
+# --------------------------------------------------------------------------
+# the kernel
+# --------------------------------------------------------------------------
+
+def make_strip_kernel(geom: StripGeometry, spec: PhysicsSpec, ntypes: int,
+                      sweep: str, interpret: bool = False):
+    """pallas_call for one sweep over (ncols, ntiles) i-tiles; physics in
+    ops/tile_physics.py (shared with the band kernel)."""
+    from tpusph.ops import tile_physics
+
+    W = geom.w
+    T1 = ntypes + 1
+    offs = _neighbor_offsets(geom)
+    n_out = tile_physics.SWEEP_N_OUT[sweep]
+
+    def kernel(scal_ref, tabs_ref, i_ref, *refs):
+        out_ref = refs[-1]
+        win_refs = refs[:-1]
+        cidx = pl.program_id(0)
+        tabs2d, vec_cols, vec_rows = tile_physics.unpack_tables(tabs_ref, T1)
+        i_tile = i_ref[0, 0]                   # (TS, F)
+
+        def _body(i_tile):
+            lk = tile_physics.Lookups(scal_ref, tabs2d, vec_cols, vec_rows,
+                                      spec, T1)
+            hoist = tile_physics.hoist_i(i_tile, lk, spec, sweep)
+            accs = [jnp.zeros((TS,), jnp.float32) for _ in range(n_out)]
+            for kk, (ox, oy) in enumerate(offs):
+                sx, sy = _plane_shift(geom, ox, oy, cidx)
+                j_tile = win_refs[kk][0, 0]    # (F, W)
+                parts = tile_physics.tile_part_sums(
+                    i_tile, j_tile, (sx, sy), hoist, lk, spec, sweep, True)
+                accs = [a + p for a, p in zip(accs, parts)]
+
+            out_rows = {"rho": (ORHO,), "cgrad": (OCGX, OCGY, ODE),
+                        "force": (OFX, OFY, OFZ, ODRHO, ODE)}[sweep]
+            for row, acc in zip(out_rows, accs):
+                out_ref[0, 0, :, row] = acc
+
+        @pl.when(jnp.any(i_tile[:, RTYPE] > 0.5))
+        def _():
+            _body(i_tile)
+
+    in_specs = [pl.BlockSpec(memory_space=pltpu.SMEM),
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 1, TS, F_ROWS),
+                             index_map=lambda c, t: (c, t, 0, 0),
+                             memory_space=pltpu.VMEM)]
+    for ox, oy in offs:
+        in_specs.append(
+            pl.BlockSpec((1, 1, F_ROWS, W),
+                         index_map=_band_index_map(geom, ox, oy),
+                         memory_space=pltpu.VMEM))
+    out_spec = pl.BlockSpec((1, 1, TS, 8),
+                            index_map=lambda c, t: (c, t, 0, 0),
+                            memory_space=pltpu.VMEM)
+
+    def call(tabs, i_arr, win):
+        scal, tab_mat = tabs
+        args = [scal, tab_mat, i_arr] + [win] * len(offs)
+        return pl.pallas_call(
+            kernel,
+            grid=(geom.ncols, geom.ntiles),
+            in_specs=in_specs,
+            out_specs=out_spec,
+            out_shape=jax.ShapeDtypeStruct(
+                (geom.ncols, geom.ntiles, TS, 8), jnp.float32),
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 1024 * 1024,
+            ),
+            interpret=interpret,
+        )(*args)
+
+    return call
+
+
+# --------------------------------------------------------------------------
+# backend
+# --------------------------------------------------------------------------
+
+class StripBackend(BandBackend):
+    """Strip backend: BandBackend lifecycle with the strip layout, window
+    packers, and kernel. Single device; the dist path keeps the column
+    kernel."""
+
+    def _call(self, spec: PhysicsSpec, sweep: str):
+        key = (spec, sweep)
+        if key not in self._calls:
+            self._calls[key] = make_strip_kernel(
+                self.geom, spec, self.ntypes, sweep,
+                interpret=self.interpret)
+        return self._calls[key]
+
+    def _pack_i(self, fields):
+        return pack_i_strip(fields, self.geom)
+
+    def _pack_band(self, fields):
+        return pack_window_strip(fields, self.geom)
+
+    def init_aux(self, state: ParticleState, box: Box):
+        return build_strips(self.resize(state), self.geom, box)
+
+    def prepare(self, state: ParticleState, aux: gridlib.GridData, istep,
+                box: Box):
+        trigger = needs_rebuild(state, aux, self.geom.skin)
+        if self.rebuild_every > 0:
+            trigger = trigger | (jnp.asarray(istep) % self.rebuild_every == 0)
+
+        def do_build(s):
+            return build_strips(s, self.geom, box, nbuilds=aux.nbuilds)
+
+        return jax.lax.cond(trigger, do_build, lambda s: (s, aux), state)
