@@ -220,3 +220,70 @@ def test_bricks_dam_break_migration():
     water = s1.get("type") == 1
     vy = s1.get("v")[water][:, 1]
     assert vy.mean() < -1e-3
+
+
+def test_balance_nonuniform_cuts():
+    """balance command (balance.cpp analog): a density-skewed box must get
+    non-uniform brick cuts with near-equal per-brick counts, and the
+    balanced run must still match the single-device trajectory."""
+    SKEW = """
+dimension      2
+units          si
+atom_style     meso
+boundary       p p p
+region         box block 0 3.2 0 0.8 -0.05 0.05
+create_box     1 box
+lattice        sq 0.08
+region         left block 0.0 1.59 0.0 0.79 -1 1 units box
+create_atoms   1 region left
+lattice        sq 0.16
+region         right block 1.61 3.19 0.0 0.79 -1 1 units box
+create_atoms   1 region right
+mass           1 0.01
+set            group all meso/rho 1000.0
+set            group all meso/cv 1.0
+set            group all meso/e 1.0
+pair_style     sph/taitwater
+pair_coeff     * * 1000.0 10.0 1.0 0.2
+timestep       1e-4
+thermo         0
+"""
+
+    def build():
+        interp = Interpreter()
+        interp.sim.screen = False
+        interp.run_string(SKEW)
+        sim = interp.sim
+        sim.set_values(np.ones(sim.natoms, bool),
+                       v=np.asarray([0.12, 0.0, 0.0]))
+        return interp, sim
+
+    _, sim1 = build()
+    sim1.backend_name = "cellgrid"
+    sim1.run(40)
+
+    interp2, sim2 = build()
+    sim2.set_mesh(4, shape=(4,), axes=(0,))
+    interp2.command("balance 1.1 shift x 10 1.05")
+    assert sim2._balance_cuts is not None
+    cuts = np.asarray(sim2._balance_cuts[0])
+    widths = np.diff(cuts)
+    # dense half -> narrower bricks on the left
+    assert widths[0] < widths[-1], widths
+    sim2.run(40)
+    assert sim2.brick_spec.cuts is not None
+
+    # per-brick counts near-equal after balancing
+    x = sim2.get("x")
+    c = np.clip(np.searchsorted(cuts, x[:, 0], side="right") - 1, 0, 3)
+    counts = np.bincount(c, minlength=4)
+    assert counts.max() < 1.5 * max(counts.min(), 1), counts
+
+    # trajectory parity with the single-device run
+    assert sim2.natoms == sim1.natoms
+    assert np.array_equal(sim1.get("tag"), sim2.get("tag"))
+    L = np.array([3.2, 0.8, 1.0])
+    dx = sim1.get("x") - sim2.get("x")
+    dx -= L * np.round(dx / L)
+    np.testing.assert_allclose(dx, 0.0, atol=5e-4)
+    np.testing.assert_allclose(sim1.get("rho"), sim2.get("rho"), rtol=2e-4)

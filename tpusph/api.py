@@ -91,6 +91,7 @@ class Simulation:
             devices = jax.devices()[: (ndev or len(jax.devices()))]
         self.mesh = Mesh(np.asarray(devices), (AXIS,))
         self._mesh_axis_dim = axis_dim
+        self._balance_cuts = None
         self._mesh_shape = tuple(shape) if shape is not None else None
         self._mesh_axes = tuple(axes) if axes is not None else None
         self._runner = None
@@ -456,7 +457,8 @@ class Simulation:
                 self.box, ndev, cutoff, skin, self.natoms,
                 axis_dim=getattr(self, "_mesh_axis_dim", 0),
                 shape=getattr(self, "_mesh_shape", None),
-                axes=getattr(self, "_mesh_axes", None))
+                axes=getattr(self, "_mesh_axes", None),
+                cuts=getattr(self, "_balance_cuts", None))
             use_pallas = (self.backend_name == "pallas"
                           or (self.backend_name == "auto"
                               and jax.default_backend() == "tpu"
@@ -477,6 +479,38 @@ class Simulation:
             self._runner_key = key
             self.state = None  # force repartition
         return self._runner
+
+    def balance(self):
+        """Rebalance the brick decomposition to the current particle
+        distribution — the ``balance`` command (balance.cpp shift balancer,
+        SURVEY §2.5). Recomputes per-axis brick boundaries at the particle
+        count quantiles, clamped to the halo margin, and repartitions the
+        mesh on the next run. No-op on a single device."""
+        if self.mesh is None:
+            return None
+        from tpusph import dist
+        if self.state is not None:
+            self._pull_state()
+        if self.brick_spec is None:
+            # derive axes/shape once so quantiles know the procgrid
+            cutoff = self.tables.max_cut()
+            skin = self.neighbor_skin if self.neighbor_skin is not None \
+                else 0.3 * cutoff
+            self.brick_spec = dist.make_brick_spec(
+                self.box, self.mesh.devices.size, cutoff, skin, self.natoms,
+                axis_dim=getattr(self, "_mesh_axis_dim", 0),
+                shape=getattr(self, "_mesh_shape", None),
+                axes=getattr(self, "_mesh_axes", None))
+        spec = self.brick_spec
+        x = np.asarray(self._staged["x"])
+        self._balance_cuts = dist.compute_balance_cuts(
+            x, self.box, spec.axes, spec.shape, spec.margin)
+        # force respec + repartition on the next run
+        self._runner = None
+        self._runner_key = None
+        self.state = None
+        self.aux = None
+        return self._balance_cuts
 
     def thermo(self, every: int):
         self.thermo_every = every

@@ -80,10 +80,29 @@ class BrickSpec(NamedTuple):
     ghost_cap: int             # max ghosts per side
     migrate_cap: int           # max migrants per side per rebuild
     periodic: Tuple[bool, ...]  # global periodicity along each decomposed axis
+    # non-uniform brick boundaries per axis (balance.cpp analog): relative
+    # to ``lo[k]``, length shape[k]+1, cuts[0]=0, cuts[-1]=axis length.
+    # None = uniform bricks of ``width[k]``.
+    cuts: Tuple[Tuple[float, ...], ...] | None = None
 
     @property
     def naxes(self) -> int:
         return len(self.axes)
+
+    def widths_of(self, k: int) -> np.ndarray:
+        """Per-brick widths along decomposed axis k (host array)."""
+        if self.cuts is None:
+            return np.full(self.shape[k], self.width[k])
+        return np.diff(np.asarray(self.cuts[k], np.float64))
+
+    def offsets_of(self, k: int) -> np.ndarray:
+        """Per-brick frame origin along axis k, relative to lo[k]."""
+        if self.cuts is None:
+            return np.arange(self.shape[k]) * self.width[k]
+        return np.asarray(self.cuts[k][:-1], np.float64)
+
+    def max_width(self, k: int) -> float:
+        return float(self.widths_of(k).max())
 
     # 1D backward-compat accessors (dump/restart/entry helpers)
     @property
@@ -200,9 +219,14 @@ class DistBackend:
         lo = np.asarray(box_global.lo, np.float64).copy()
         hi = np.asarray(box_global.hi, np.float64).copy()
         per = list(box_global.periodic)
+        # per-brick width lookup tables (non-uniform balance cuts); the
+        # local grid geometry is static and shared by every brick, so it is
+        # sized for the WIDEST brick — narrower bricks leave empty cells
+        self._wtab = [np.asarray(spec.widths_of(k), np.float32)
+                      for k in range(spec.naxes)]
         for k, ax in enumerate(spec.axes):
             lo[ax] = -spec.margin
-            hi[ax] = spec.width[k] + spec.margin
+            hi[ax] = spec.max_width(k) + spec.margin
             per[ax] = False  # ghosts materialize cross-brick images explicitly
         self.box_local = Box.create(lo, hi, tuple(per))
         self.box_global = box_global
@@ -222,6 +246,17 @@ class DistBackend:
     def _axis_coord(self, k: int):
         """This brick's coordinate along decomposed axis k (traced)."""
         return self.spec.coords_of(jax.lax.axis_index(AXIS))[k]
+
+    def _w_me(self, k: int):
+        """This brick's width along axis k (traced scalar)."""
+        return jnp.asarray(self._wtab[k])[self._axis_coord(k)]
+
+    def _w_nbr(self, k: int, direction: int):
+        """The axis-k neighbor's width in ``direction`` (traced scalar) —
+        the frame shift a payload needs when moving to that neighbor."""
+        sk = self.spec.shape[k]
+        return jnp.asarray(self._wtab[k])[
+            (self._axis_coord(k) + direction) % sk]
 
     # -- mid-force halo refresh (rhosum rho / colorgradient cg) -------------
 
@@ -294,7 +329,10 @@ class DistBackend:
         n = state.capacity
 
         def one_side(s, direction, k, st):
-            w = self.spec.width[k]
+            # frame shift into the receiver's brick-local frame: moving
+            # down-axis adds the RECEIVER's width, up-axis subtracts MINE
+            w_shift = jnp.where(direction < 0,
+                                self._w_nbr(k, -1), -self._w_me(k))
             ax = self.spec.axes[k]
             smask = jnp.arange(g) < aux.n_send[s]
             recv_side = s ^ 1
@@ -306,8 +344,7 @@ class DistBackend:
                 v = jnp.where(smask if v.ndim == 1 else smask[:, None], v,
                               jnp.zeros_like(v))
                 if f == "x":
-                    # brick-local frames: +w when moving down-axis, -w up
-                    v = v.at[:, ax].add(-direction * w)
+                    v = v.at[:, ax].add(w_shift)
                 recv = _shift_axis(v, self.spec, k, direction)
                 updates[f] = getattr(st, f).at[tgt].set(recv, mode="drop")
             return dataclasses.replace(st, **updates)
@@ -342,12 +379,12 @@ class DistBackend:
         # two hops (axis 0 first, then axis 1 from the intermediate brick)
         for k in range(spec.naxes):
             ax = spec.axes[k]
-            w = spec.width[k]
+            w_me = self._w_me(k)
             idx_k = self._axis_coord(k)
             alive = state.alive
             xa = state.x[:, ax]
             gone_lo = alive & (xa < 0.0)
-            gone_hi = alive & (xa >= w)
+            gone_hi = alive & (xa >= w_me)
             if not spec.periodic[k]:
                 # at the global boundary nothing leaves (walls/fixed
                 # boundary: overhanging particles stay with the edge brick)
@@ -357,8 +394,10 @@ class DistBackend:
             mrows_hi, mcnt_hi, mov_hi = _select_rows(gone_hi, mcap)
             pay_lo = _pack_rows(state, mrows_lo, mcnt_lo)
             pay_hi = _pack_rows(state, mrows_hi, mcnt_hi)
-            pay_lo["x"] = pay_lo["x"].at[:, ax].add(w)    # into lo frame
-            pay_hi["x"] = pay_hi["x"].at[:, ax].add(-w)   # into hi frame
+            # into the receiver's frame: lo-bound adds the lo NEIGHBOR's
+            # width, hi-bound subtracts MY width (uniform bricks: both = w)
+            pay_lo["x"] = pay_lo["x"].at[:, ax].add(self._w_nbr(k, -1))
+            pay_hi["x"] = pay_hi["x"].at[:, ax].add(-w_me)
             killed = jnp.zeros(n, bool).at[mrows_lo].set(True, mode="drop") \
                 | jnp.zeros(n, bool).at[mrows_hi].set(True, mode="drop")
             state = dataclasses.replace(
@@ -383,12 +422,12 @@ class DistBackend:
         merge_idx = 0
         for k in range(spec.naxes):
             ax = spec.axes[k]
-            w = spec.width[k]
+            w_me = self._w_me(k)
             idx_k = self._axis_coord(k)
             alive = state.alive
             xa = state.x[:, ax]
             edge_lo = alive & (xa < spec.margin)
-            edge_hi = alive & (xa >= w - spec.margin)
+            edge_hi = alive & (xa >= w_me - spec.margin)
             if not spec.periodic[k]:
                 edge_lo = edge_lo & (idx_k > 0)
                 edge_hi = edge_hi & (idx_k < spec.shape[k] - 1)
@@ -396,8 +435,8 @@ class DistBackend:
             srows_hi, scnt_hi, sov_hi = _select_rows(edge_hi, gcap)
             gpay_lo = _pack_rows(state, srows_lo, scnt_lo)
             gpay_hi = _pack_rows(state, srows_hi, scnt_hi)
-            gpay_lo["x"] = gpay_lo["x"].at[:, ax].add(w)
-            gpay_hi["x"] = gpay_hi["x"].at[:, ax].add(-w)
+            gpay_lo["x"] = gpay_lo["x"].at[:, ax].add(self._w_nbr(k, -1))
+            gpay_hi["x"] = gpay_hi["x"].at[:, ax].add(-w_me)
             ghosts_from_lo = jax.tree_util.tree_map(
                 lambda a: _shift_axis(a, spec, k, +1), gpay_hi)
             ghosts_from_hi = jax.tree_util.tree_map(
@@ -541,7 +580,9 @@ def make_brick_spec(box: Box, ndev: int, cutoff: float, skin: float,
                     shape: Tuple[int, ...] | None = None,
                     axes: Tuple[int, ...] | None = None,
                     ghost_cap: int | None = None,
-                    migrate_cap: int | None = None) -> BrickSpec:
+                    migrate_cap: int | None = None,
+                    cuts: Tuple[Tuple[float, ...], ...] | None = None
+                    ) -> BrickSpec:
     margin = cutoff + skin
     if shape is None:
         axes, shape = choose_brick_shape(
@@ -553,13 +594,21 @@ def make_brick_spec(box: Box, ndev: int, cutoff: float, skin: float,
     lo_g = np.asarray(box.lo, np.float64)
     hi_g = np.asarray(box.hi, np.float64)
     widths = []
-    for a, s in zip(axes, shape):
-        w = (hi_g[a] - lo_g[a]) / s
+    for k, (a, s) in enumerate(zip(axes, shape)):
+        if cuts is not None:
+            ws = np.diff(np.asarray(cuts[k], np.float64))
+            if len(ws) != s or (ws <= 0).any():
+                raise ValueError(f"balance cuts along axis {a} are not "
+                                 f"{s} monotone bricks: {cuts[k]}")
+            w = float(ws.min())
+        else:
+            w = (hi_g[a] - lo_g[a]) / s
         if s > 1 and margin >= w:
             raise ValueError(
                 f"halo margin {margin} >= brick width {w} along axis {a}: "
                 "too many bricks for this box/cutoff")
-        widths.append(float(w))
+        widths.append(float((hi_g[a] - lo_g[a]) / s) if cuts is None
+                      else float(np.max(np.diff(cuts[k]))))
     if ghost_cap is None:
         per_brick = max(n_particles // ndev, 1)
         frac = max(min(margin / w, 1.0) for w in widths)
@@ -573,7 +622,45 @@ def make_brick_spec(box: Box, ndev: int, cutoff: float, skin: float,
                      width=tuple(widths),
                      margin=margin, ghost_cap=int(ghost_cap),
                      migrate_cap=int(migrate_cap),
-                     periodic=tuple(bool(box.periodic[a]) for a in axes))
+                     periodic=tuple(bool(box.periodic[a]) for a in axes),
+                     cuts=(None if cuts is None else
+                           tuple(tuple(float(c) for c in cc) for cc in cuts)))
+
+
+def compute_balance_cuts(x: np.ndarray, box: Box,
+                         axes: Tuple[int, ...], shape: Tuple[int, ...],
+                         margin: float) -> Tuple[Tuple[float, ...], ...]:
+    """Equal-count brick boundaries per decomposed axis — the TPU-native
+    analog of the reference's balance.cpp shift balancer (SURVEY §2.5):
+    boundaries at the per-axis particle-count quantiles (the procgrid stays
+    a tensor product, like the reference's shifted planes), then clamped so
+    every brick stays wider than the halo margin."""
+    lo_g = np.asarray(box.lo, np.float64)
+    hi_g = np.asarray(box.hi, np.float64)
+    wmin = margin * 1.05 + 1e-9
+    out = []
+    for a, s in zip(axes, shape):
+        length = float(hi_g[a] - lo_g[a])
+        if s * wmin >= length:
+            raise ValueError(
+                f"cannot balance axis {a}: {s} bricks of minimum width "
+                f"{wmin:.4g} (halo margin) exceed the box length {length:.4g}")
+        rel = np.sort(np.clip(np.asarray(x[:, a], np.float64) - lo_g[a],
+                              0.0, length))
+        q = [length * i / s if len(rel) == 0 else
+             float(rel[min(int(round(len(rel) * i / s)), len(rel) - 1)])
+             for i in range(1, s)]
+        cuts = np.array([0.0] + q + [length])
+        for i in range(1, s + 1):          # enforce the margin floor
+            cuts[i] = max(cuts[i], cuts[i - 1] + wmin)
+        cuts[s] = length
+        for i in range(s - 1, 0, -1):
+            cuts[i] = min(cuts[i], cuts[i + 1] - wmin)
+        if cuts[0] < -1e-9 or (np.diff(cuts) <= 0).any():
+            raise ValueError(f"balance infeasible along axis {a}")
+        cuts[0] = 0.0
+        out.append(tuple(float(c) for c in cuts))
+    return tuple(out)
 
 
 def choose_local_cap(spec: BrickSpec, counts_max: int) -> int:
@@ -592,9 +679,14 @@ def partition_state(staged: dict, spec: BrickSpec, mesh: Mesh,
     x = np.asarray(staged["x"], np.float32).copy()
     owner = np.zeros(len(x), np.int64)
     for k, ax in enumerate(spec.axes):
-        c = np.clip(((x[:, ax] - spec.lo[k]) / spec.width[k]).astype(int),
-                    0, spec.shape[k] - 1)
-        x[:, ax] -= spec.lo[k] + c * spec.width[k]  # brick-local
+        rel = x[:, ax] - spec.lo[k]
+        if spec.cuts is None:
+            c = np.clip((rel / spec.width[k]).astype(int),
+                        0, spec.shape[k] - 1)
+        else:
+            c = np.clip(np.searchsorted(spec.cuts[k], rel, side="right") - 1,
+                        0, spec.shape[k] - 1)
+        x[:, ax] = rel - spec.offsets_of(k)[c]      # brick-local
         owner = owner * spec.shape[k] + c
     counts = np.bincount(owner, minlength=spec.ndev)
     if local_cap is None:
@@ -744,5 +836,5 @@ def globalize_positions(x_host: np.ndarray, spec: BrickSpec,
     brick = rows // local_cap
     coords = spec.coords_of(brick)
     for k, ax in enumerate(spec.axes):
-        x[:, ax] += spec.lo[k] + coords[k] * spec.width[k]
+        x[:, ax] += spec.lo[k] + spec.offsets_of(k)[np.asarray(coords[k])]
     return x

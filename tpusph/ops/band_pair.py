@@ -328,41 +328,44 @@ def pack_i(fields: dict, geom: BandGeometry) -> jax.Array:
     return arr.reshape(geom.ncols, geom.ngroups, geom.gc, F_ROWS)
 
 
-def pack_band(fields: dict, geom: BandGeometry) -> jax.Array:
-    """(ncols + 1, ngroups, F, W): per (column, group), the group's j-window
-    = [group - k sub-cells, group + G + k sub-cells) pre-gathered into the
-    lane axis (+ zero pad to W_pad, + an all-dead sentinel column for
-    non-periodic plane edges). Periodic column axis: the wrap margins get
-    the box-length image shift applied to the column-axis coordinate row;
-    non-periodic: the outside margins are killed (type row zeroed)."""
+def band_row(f, row_id: int, geom: BandGeometry) -> jax.Array:
+    """One field row of the band array: (ncols, ngroups, W). Periodic
+    column axis: the wrap margins get the box-length image shift applied
+    to the column-axis coordinate row; non-periodic: the outside margins
+    are killed (type row zeroed)."""
     kc = geom.k * geom.c
     g_idx = jnp.arange(geom.ngroups)
     col_row = RZ if geom.dim == 3 else RY
     lz = geom.lengths[geom.col_axis]
+    a = f.reshape(geom.ncols, geom.ngroups, geom.gc)
+    lo = jnp.roll(a, 1, axis=1)[:, :, -kc:]
+    hi = jnp.roll(a, -1, axis=1)[:, :, :kc]
+    if geom.col_periodic:
+        if row_id == col_row:
+            lo = lo + jnp.where((g_idx == 0)[None, :, None], -lz, 0.0)
+            hi = hi + jnp.where((g_idx == geom.ngroups - 1)[None, :, None],
+                                lz, 0.0)
+    else:
+        if row_id == RTYPE:
+            lo = jnp.where((g_idx == 0)[None, :, None], 0.0, lo)
+            hi = jnp.where((g_idx == geom.ngroups - 1)[None, :, None],
+                           0.0, hi)
+    pad = geom.w_pad - geom.w_real
+    pieces = [lo, a, hi]
+    if pad:
+        pieces.append(jnp.zeros((geom.ncols, geom.ngroups, pad),
+                                jnp.float32))
+    return jnp.concatenate(pieces, axis=-1)
 
-    def band_one(f, row_id):
-        a = f.reshape(geom.ncols, geom.ngroups, geom.gc)
-        lo = jnp.roll(a, 1, axis=1)[:, :, -kc:]
-        hi = jnp.roll(a, -1, axis=1)[:, :, :kc]
-        if geom.col_periodic:
-            if row_id == col_row:
-                lo = lo + jnp.where((g_idx == 0)[None, :, None], -lz, 0.0)
-                hi = hi + jnp.where((g_idx == geom.ngroups - 1)[None, :, None],
-                                    lz, 0.0)
-        else:
-            if row_id == RTYPE:
-                lo = jnp.where((g_idx == 0)[None, :, None], 0.0, lo)
-                hi = jnp.where((g_idx == geom.ngroups - 1)[None, :, None],
-                               0.0, hi)
-        pad = geom.w_pad - geom.w_real
-        pieces = [lo, a, hi]
-        if pad:
-            pieces.append(jnp.zeros((geom.ncols, geom.ngroups, pad),
-                                    jnp.float32))
-        return jnp.concatenate(pieces, axis=-1)
 
+def pack_band(fields: dict, geom: BandGeometry) -> jax.Array:
+    """(ncols + 1, ngroups, F, W): per (column, group), the group's j-window
+    = [group - k sub-cells, group + G + k sub-cells) pre-gathered into the
+    lane axis (+ zero pad to W_pad, + an all-dead sentinel column for
+    non-periodic plane edges)."""
     cols = _field_list(fields)
-    band = jnp.stack([band_one(f, r) for r, f in enumerate(cols)], axis=2)
+    band = jnp.stack([band_row(f, r, geom) for r, f in enumerate(cols)],
+                     axis=2)
     sentinel = jnp.zeros((1,) + band.shape[1:], jnp.float32)
     return jnp.concatenate([band, sentinel], axis=0)
 
@@ -550,6 +553,21 @@ class BandBackend:
     def _pack_band(self, fields):
         return pack_band(fields, self.geom)
 
+    def _band_row(self, f, row_id: int):
+        return band_row(f, row_id, self.geom)
+
+    def _update_rows(self, i_arr, band, fields, row_ids):
+        """Refresh only the given F-rows of the packed arrays after a sweep
+        updated their fields (rho after rhosum, cg after colorgradient) —
+        the other 13 rows are unchanged within a step."""
+        names = {RRHO: "rho", RCGX: "cg0", RCGY: "cg1", RCGZ: "cg2"}
+        ish = i_arr.shape      # (ncols, ngroups|ntiles, rows, F)
+        for r in row_ids:
+            f = fields[names[r]]
+            i_arr = i_arr.at[..., r].set(f.reshape(ish[:-1]))
+            band = band.at[:-1, :, r, :].set(self._band_row(f, r))
+        return i_arr, band
+
     # -- lifecycle -----------------------------------------------------------
 
     def resize(self, state: ParticleState) -> ParticleState:
@@ -597,10 +615,10 @@ class BandBackend:
         alive = state.alive
         fields = _state_fields(state)
         tabs = pack_tables(tables)
+        i_arr = self._pack_i(fields)
+        band = self._pack_band(fields)
 
         def run(sweep):
-            i_arr = self._pack_i(fields)
-            band = self._pack_band(fields)
             out = self._call(spec, sweep)(tabs, i_arr, band)
             return out.reshape(n, 8)
 
@@ -620,12 +638,15 @@ class BandBackend:
             recompute = (jnp.asarray(istep) % spec.rhosum_every) == 0
             rho = jnp.where(recompute & alive, rho_sum + w0, rho)
             fields["rho"] = rho
+            i_arr, band = self._update_rows(i_arr, band, fields, (RRHO,))
 
         if spec.surface_tension:
             out = run("cgrad")
             fields["cg0"] = jnp.where(alive, out[:, OCGX], 0.0)
             fields["cg1"] = jnp.where(alive, out[:, OCGY], 0.0)
             fields["cg2"] = jnp.where(alive, out[:, ODE], 0.0)
+            i_arr, band = self._update_rows(i_arr, band, fields,
+                                            (RCGX, RCGY, RCGZ))
 
         out = run("force")
         f = jnp.stack([out[:, OFX], out[:, OFY], out[:, OFZ]], axis=1)

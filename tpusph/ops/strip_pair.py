@@ -78,6 +78,7 @@ class StripGeometry(NamedTuple):
     ncy: int            # 1 in 2D
     col_cap: int        # slots per column, multiple of TS
     head: int           # reserved head rows (top-seam ghost band), CH-mult
+    tail: int           # tail ghost budget rows (bottom-seam band), CH-mult
     mlo: int            # margin chunks (CH rows) below an i-tile's window
     mhi: int            # margin chunks above
     dim: int
@@ -266,7 +267,7 @@ def choose_strip_geometry(box: Box, cutoff: float, dim: int, skin: float,
         cell_xy = (length[0] / ncx, 0.0)
     return StripGeometry(
         ncx=int(ncx), ncy=int(ncy), col_cap=int(col_cap), head=int(head),
-        mlo=mlo, mhi=mhi, dim=dim, periodic=box.periodic,
+        tail=int(tail), mlo=mlo, mhi=mhi, dim=dim, periodic=box.periodic,
         lengths=tuple(float(v) for v in length),
         origin=tuple(float(v) for v in lo),
         cell_xy=tuple(float(v) for v in cell_xy),
@@ -326,7 +327,17 @@ def build_strips(state: ParticleState, geom: StripGeometry, box: Box,
     grid.build; runs at rebuild cadence only. Positions wrap here
     (Domain::pbc semantics). Overflows (column fuller than its band, or a
     window that no longer covers cutoff+skin in z) are counted AND
-    surfaced — never silently dropped."""
+    surfaced — never silently dropped.
+
+    Movement strategy (TPU: arbitrary gathers/scatters cost ~15 ns/row, so
+    14 per-field gathers + 3 scatter passes would dominate): carry every
+    persistent field as a payload of the key sort, then PLACE rows with a
+    second sort whose key is the explicit destination permutation (real
+    row -> its slot, dead row -> the matching unused slot). f/drho/de are
+    not persistent across a rebuild (the force stage recomputes them
+    before final_integrate) and are zeroed instead of moved. Ghost bands
+    are filled by a fixed-size gather/scatter over the static per-column
+    ghost budget."""
     n = state.capacity
     assert n == geom.n_slots, (n, geom.n_slots)
     cap = geom.col_cap
@@ -344,59 +355,129 @@ def build_strips(state: ParticleState, geom: StripGeometry, box: Box,
     col_u = jnp.where(live, col, ncols).astype(jnp.uint32)
     key = col_u * jnp.uint32(1 << 20) + jnp.where(live, zq, 0)
 
+    payload_names = ("rho", "e", "cv", "rmass", "type", "tag",
+                     "owned", "mobile")
+    vec_names = ("x", "v", "vest")
+    pay = []
+    for nm in vec_names:
+        a = getattr(state, nm)
+        pay += [a[:, 0], a[:, 1], a[:, 2]]
+    pay += [getattr(state, nm) for nm in payload_names]
+    pay.append(jnp.where(live, jnp.uint8(1), jnp.uint8(0)))
+
+    sorted_all = jax.lax.sort((key, *pay), num_keys=1, is_stable=True)
+    key_s = sorted_all[0]
+    vals = list(sorted_all[1:])
+    live_s = vals[-1] > 0
+    vals = vals[:-1]
+    col_s = jnp.minimum((key_s >> jnp.uint32(20)).astype(jnp.int32),
+                        ncols - 1)
+
     idx = jnp.arange(n, dtype=jnp.int32)
-    key_s, perm = jax.lax.sort((key, idx), num_keys=1, is_stable=True)
-    col_s = (key_s >> jnp.uint32(20)).astype(jnp.int32)
-    z_s = z[perm]
-    live_s = col_s < ncols
+    # per-column counts WITHOUT an n-row scatter: col_s is sorted, so run
+    # boundaries come from ncols binary searches, and per-row rank from a
+    # run-start cummax (arbitrary n-row gathers cost ~15 ns/row on TPU)
+    live_col = jnp.where(live_s, col_s, ncols)
+    starts_c = jnp.searchsorted(live_col, jnp.arange(ncols + 1)
+                                ).astype(jnp.int32)
+    counts = starts_c[1:] - starts_c[:-1]
+    budget = cap - head - geom.tail
+    count_eff = jnp.minimum(counts, budget)
+    overflow = jnp.sum(counts - count_eff)
+    change = jnp.concatenate([
+        jnp.ones(1, bool), live_col[1:] != live_col[:-1]])
+    run_start = jax.lax.cummax(jnp.where(change, idx, 0))
+    rank = idx - run_start
+    ok = live_s & (rank < budget)
+    slot = (col_s * cap + head + rank).astype(jnp.uint32)
 
-    counts = jnp.zeros(ncols + 1, jnp.int32).at[col_s].add(1)[:ncols]
-    starts = jnp.concatenate([
-        jnp.zeros(1, jnp.int32), jnp.cumsum(counts).astype(jnp.int32)])
-    col_c = jnp.minimum(col_s, ncols - 1)
-    rank = idx - starts[col_c]
-    count_c = counts[col_c]
+    # destination permutation: dead/dropped rows take the unused slots in
+    # ascending order (occupancy is a closed form — no scatter needed)
+    pos_all = (idx % cap)
+    count_rep = jnp.repeat(count_eff, cap, total_repeat_length=n)
+    occ = (pos_all >= head) & (pos_all < head + count_rep)
+    _, unused_sorted = jax.lax.sort(
+        (occ.astype(jnp.uint32), idx), num_keys=1, is_stable=True)
+    cumok = jnp.cumsum(ok.astype(jnp.int32))
+    d = idx - cumok                      # ordinal among not-ok rows
+    comp_dead = unused_sorted[jnp.clip(d, 0, n - 1)]
+    comp = jnp.where(ok, slot, comp_dead.astype(jnp.uint32))
 
-    ok = live_s & (head + rank < cap)
-    slot_main = jnp.where(ok, col_c * cap + head + rank, n)
-    overflow = jnp.sum(jnp.maximum(head + counts - cap, 0))
+    # dropped-but-alive rows must land dead: kill their type
+    t_i = payload_names.index("type") + 9
+    vals[t_i] = jnp.where(live_s & ~ok, 0, vals[t_i])
+    # previous ghosts / dead rows keep stale fields; kill type for safety
+    vals[t_i] = jnp.where(live_s | ok, vals[t_i], 0)
 
-    shift = jnp.zeros((3,), jnp.float32).at[ca].set(lz)
-    scatters = [(slot_main, jnp.zeros((3,), jnp.float32), True)]
-    if geom.col_periodic:
-        # bottom-face particles copied above the real band (z + Lz)
-        is_bot = live_s & (z_s < depth)
-        slot_b = head + count_c + rank
-        ok_b = is_bot & (slot_b < cap)
-        overflow = overflow + jnp.sum((is_bot & ~ok_b).astype(jnp.int32))
-        scatters.append((jnp.where(ok_b, col_c * cap + slot_b, n),
-                         shift, False))
-        # top-face particles copied below the real band (z - Lz)
-        is_top = live_s & (z_s > lz - depth)
-        slot_t = head - (count_c - rank)
-        ok_t = is_top & (slot_t >= 0)
-        overflow = overflow + jnp.sum((is_top & ~ok_t).astype(jnp.int32))
-        scatters.append((jnp.where(ok_t, col_c * cap + slot_t, n),
-                         -shift, False))
+    placed = jax.lax.sort((comp, *vals), num_keys=1, is_stable=False)
+    pvals = list(placed[1:])
 
-    x_names = ("x",)
+    def vec3(i0):
+        return jnp.stack(pvals[i0:i0 + 3], axis=1)
 
-    def build_field(name, a):
-        dest = jnp.zeros(a.shape, a.dtype)
-        src = a[perm]
-        for slot, shf, owned_val in scatters:
-            if name == "owned":
-                vals = jnp.full(src.shape, owned_val)
-            elif name in x_names and a.ndim == 2:
-                vals = src + shf[None, :]
+    fieldmap = dict(x=vec3(0), v=vec3(3), vest=vec3(6))
+    for j, nm in enumerate(payload_names):
+        fieldmap[nm] = pvals[9 + j]
+    zeros3 = jnp.zeros((n, 3), jnp.float32)
+    new_state = dataclasses.replace(
+        state, f=zeros3, drho=jnp.zeros(n, jnp.float32),
+        de=jnp.zeros(n, jnp.float32), **fieldmap)
+
+    # ---- seam-ghost bands: fixed-size gather/scatter ---------------------
+    if geom.col_periodic and (head or geom.tail):
+        gb = head + geom.tail
+        k = ncols * gb
+        jj = jnp.arange(k, dtype=jnp.int32)
+        gcol = jj // gb
+        off = jj % gb
+        cnt_k = count_eff[gcol]
+        z_slot = new_state.x[:, ca] - geom.origin[ca]
+        nb = jnp.zeros(ncols, jnp.int32).at[
+            jnp.where(occ & (z_slot < depth), idx // cap, ncols)
+        ].add(1, mode="drop")
+        nt = jnp.zeros(ncols, jnp.int32).at[
+            jnp.where(occ & (z_slot > lz - depth), idx // cap, ncols)
+        ].add(1, mode="drop")
+        is_top = off < head            # top band: slots [head-nt, head)
+        dest = jnp.where(
+            is_top,
+            gcol * cap + off,
+            gcol * cap + head + cnt_k + (off - head))
+        src = jnp.where(is_top, dest + cnt_k, dest - cnt_k)
+        valid = jnp.where(is_top,
+                          off >= head - nt[gcol],
+                          (off - head) < nb[gcol])
+        # band capacity shortfalls are overflow (never silently dropped)
+        overflow = overflow + jnp.sum(jnp.maximum(nt - head, 0))             + jnp.sum(jnp.maximum(nb - geom.tail, 0))
+        src = jnp.clip(src, 0, n - 1)
+        dest_w = jnp.where(valid, dest, n)
+        shift = jnp.where(is_top, -lz, lz).astype(jnp.float32)
+
+        def ghost_copy(a, shf=None):
+            g = a[src]
+            if shf is not None:
+                g = g + shf
+            return a.at[dest_w].set(g, mode="drop")
+
+        x_new = new_state.x
+        for comp_ax in range(3):
+            colv = x_new[:, comp_ax]
+            if comp_ax == ca:
+                colv = ghost_copy(colv, shift)
             else:
-                vals = src
-            dest = dest.at[slot].set(vals, mode="drop")
-        return dest
-
-    new_state = ParticleState(**{
-        f.name: build_field(f.name, getattr(state, f.name))
-        for f in dataclasses.fields(state)})
+                colv = ghost_copy(colv)
+            x_new = x_new.at[:, comp_ax].set(colv)
+        upd = dict(x=x_new)
+        for nm in ("v", "vest"):
+            a = getattr(new_state, nm)
+            a = jnp.stack([ghost_copy(a[:, i]) for i in range(3)], axis=1)
+            upd[nm] = a
+        for nm in ("rho", "e", "cv", "rmass", "type", "tag", "mobile"):
+            upd[nm] = ghost_copy(getattr(new_state, nm))
+        owned = new_state.owned.at[dest_w].set(
+            jnp.zeros(k, bool), mode="drop")
+        upd["owned"] = owned
+        new_state = dataclasses.replace(new_state, **upd)
 
     # --- window coverage check (the strip analog of the cell-cap bound) ---
     zs = new_state.x[:, ca] - geom.origin[ca]
@@ -469,26 +550,27 @@ def pack_window_strip(fields: dict, geom: StripGeometry) -> jax.Array:
     roll(-c)[::2]). Out-of-column chunks are killed (type row zeroed) —
     the periodic seam is handled by the ghost bands, not by wrapping. A
     final all-dead sentinel column serves non-periodic plane edges."""
-    ncols, n32, ntiles = geom.ncols, geom.n32, geom.ntiles
-    t_idx = jnp.arange(ntiles)
-    offs = range(-geom.mlo, 2 + geom.mhi)
-
-    def window_one(f, row_id):
-        C = f.reshape(ncols, n32, CH)
-        pieces = []
-        for c in offs:
-            D = jnp.roll(C, -c, axis=1)[:, ::2][:, :ntiles]
-            if row_id == RTYPE:
-                ci = 2 * t_idx + c
-                oob = ((ci < 0) | (ci >= n32))[None, :, None]
-                D = jnp.where(oob, 0.0, D)
-            pieces.append(D)
-        return jnp.concatenate(pieces, axis=-1)   # (ncols, ntiles, W)
-
     cols = _field_list(fields)
-    win = jnp.stack([window_one(f, r) for r, f in enumerate(cols)], axis=2)
+    win = jnp.stack([window_row(f, r, geom) for r, f in enumerate(cols)],
+                    axis=2)
     sentinel = jnp.zeros((1,) + win.shape[1:], jnp.float32)
     return jnp.concatenate([win, sentinel], axis=0)
+
+
+def window_row(f, row_id: int, geom: StripGeometry) -> jax.Array:
+    """One field row of the window array: (ncols, ntiles, W)."""
+    ncols, n32, ntiles = geom.ncols, geom.n32, geom.ntiles
+    t_idx = jnp.arange(ntiles)
+    C = f.reshape(ncols, n32, CH)
+    pieces = []
+    for c in range(-geom.mlo, 2 + geom.mhi):
+        D = jnp.roll(C, -c, axis=1)[:, ::2][:, :ntiles]
+        if row_id == RTYPE:
+            ci = 2 * t_idx + c
+            oob = ((ci < 0) | (ci >= n32))[None, :, None]
+            D = jnp.where(oob, 0.0, D)
+        pieces.append(D)
+    return jnp.concatenate(pieces, axis=-1)
 
 
 # --------------------------------------------------------------------------
@@ -505,46 +587,50 @@ def make_strip_kernel(geom: StripGeometry, spec: PhysicsSpec, ntypes: int,
     T1 = ntypes + 1
     offs = _neighbor_offsets(geom)
     n_out = tile_physics.SWEEP_N_OUT[sweep]
+    # tiles per program: amortizes per-program overhead (grid sequencing,
+    # DMA issue) over more compute; must divide ntiles
+    t_blk = next(t for t in (4, 2, 1) if geom.ntiles % t == 0)
 
     def kernel(scal_ref, tabs_ref, i_ref, *refs):
         out_ref = refs[-1]
         win_refs = refs[:-1]
         cidx = pl.program_id(0)
         tabs2d, vec_cols, vec_rows = tile_physics.unpack_tables(tabs_ref, T1)
-        i_tile = i_ref[0, 0]                   # (TS, F)
 
-        def _body(i_tile):
-            lk = tile_physics.Lookups(scal_ref, tabs2d, vec_cols, vec_rows,
-                                      spec, T1)
-            hoist = tile_physics.hoist_i(i_tile, lk, spec, sweep)
-            accs = [jnp.zeros((TS,), jnp.float32) for _ in range(n_out)]
-            for kk, (ox, oy) in enumerate(offs):
-                sx, sy = _plane_shift(geom, ox, oy, cidx)
-                j_tile = win_refs[kk][0, 0]    # (F, W)
-                parts = tile_physics.tile_part_sums(
-                    i_tile, j_tile, (sx, sy), hoist, lk, spec, sweep, True)
-                accs = [a + p for a, p in zip(accs, parts)]
+        for tt in range(t_blk):
+            i_tile = i_ref[0, tt]              # (TS, F)
 
-            out_rows = {"rho": (ORHO,), "cgrad": (OCGX, OCGY, ODE),
-                        "force": (OFX, OFY, OFZ, ODRHO, ODE)}[sweep]
-            for row, acc in zip(out_rows, accs):
-                out_ref[0, 0, :, row] = acc
+            def _body(i_tile=i_tile, tt=tt):
+                lk = tile_physics.Lookups(scal_ref, tabs2d, vec_cols,
+                                          vec_rows, spec, T1)
+                hoist = tile_physics.hoist_i(i_tile, lk, spec, sweep)
+                accs = [jnp.zeros((TS,), jnp.float32) for _ in range(n_out)]
+                for kk, (ox, oy) in enumerate(offs):
+                    sx, sy = _plane_shift(geom, ox, oy, cidx)
+                    j_tile = win_refs[kk][0, tt]   # (F, W)
+                    parts = tile_physics.tile_part_sums(
+                        i_tile, j_tile, (sx, sy), hoist, lk, spec, sweep,
+                        True)
+                    accs = [a + p for a, p in zip(accs, parts)]
 
-        @pl.when(jnp.any(i_tile[:, RTYPE] > 0.5))
-        def _():
-            _body(i_tile)
+                out_rows = {"rho": (ORHO,), "cgrad": (OCGX, OCGY, ODE),
+                            "force": (OFX, OFY, OFZ, ODRHO, ODE)}[sweep]
+                for row, acc in zip(out_rows, accs):
+                    out_ref[0, tt, :, row] = acc
+
+            pl.when(jnp.any(i_tile[:, RTYPE] > 0.5))(_body)
 
     in_specs = [pl.BlockSpec(memory_space=pltpu.SMEM),
                 pl.BlockSpec(memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, 1, TS, F_ROWS),
+                pl.BlockSpec((1, t_blk, TS, F_ROWS),
                              index_map=lambda c, t: (c, t, 0, 0),
                              memory_space=pltpu.VMEM)]
     for ox, oy in offs:
         in_specs.append(
-            pl.BlockSpec((1, 1, F_ROWS, W),
+            pl.BlockSpec((1, t_blk, F_ROWS, W),
                          index_map=_band_index_map(geom, ox, oy),
                          memory_space=pltpu.VMEM))
-    out_spec = pl.BlockSpec((1, 1, TS, 8),
+    out_spec = pl.BlockSpec((1, t_blk, TS, 8),
                             index_map=lambda c, t: (c, t, 0, 0),
                             memory_space=pltpu.VMEM)
 
@@ -553,7 +639,7 @@ def make_strip_kernel(geom: StripGeometry, spec: PhysicsSpec, ntypes: int,
         args = [scal, tab_mat, i_arr] + [win] * len(offs)
         return pl.pallas_call(
             kernel,
-            grid=(geom.ncols, geom.ntiles),
+            grid=(geom.ncols, geom.ntiles // t_blk),
             in_specs=in_specs,
             out_specs=out_spec,
             out_shape=jax.ShapeDtypeStruct(
@@ -589,6 +675,9 @@ class StripBackend(BandBackend):
 
     def _pack_band(self, fields):
         return pack_window_strip(fields, self.geom)
+
+    def _band_row(self, f, row_id: int):
+        return window_row(f, row_id, self.geom)
 
     def init_aux(self, state: ParticleState, box: Box):
         return build_strips(self.resize(state), self.geom, box)

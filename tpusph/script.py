@@ -586,6 +586,13 @@ class Interpreter:
 
     # -- time / output ---------------------------------------------------------
 
+    def cmd_balance(self, a):
+        """balance <thresh> shift <dims> <niter> <stopthresh> — the cut
+        planes move to the particle-count quantiles regardless of the
+        iteration knobs (one exact shift pass; balance.cpp converges to the
+        same planes)."""
+        self.sim.balance()
+
     def cmd_timestep(self, a):
         self.sim.dt = _num(a[0])
 
