@@ -110,6 +110,7 @@ def test_band_scalar_fold_flags_preserve_physics():
         np.testing.assert_allclose(b, a, rtol=1e-5, atol=1e-6, err_msg=field)
 
 
+@pytest.mark.slow
 def test_band_dynamics_matches_cellgrid():
     """A short dynamic run (rebuilds firing) through the Simulation API must
     agree between band and cellgrid backends."""

@@ -34,7 +34,9 @@ def parse_log(path):
     return np.asarray(rows)
 
 
-@pytest.mark.parametrize("case", ["heat_slab", "water_collapse", "droplet"])
+@pytest.mark.parametrize("case", ["heat_slab", "water_collapse", "droplet",
+                                  "bubble_rise", "boiling"])
+@pytest.mark.slow
 def test_golden_log(case, tmp_path):
     from generate_golden import CASES, generate, GOLDEN as GOLD_DIR
     import generate_golden

@@ -59,3 +59,27 @@ def test_parse_speed_factor(lib_available):
     t_numpy = time.perf_counter() - t0
 
     assert t_native < t_numpy / 3.0, (t_native, t_numpy)
+
+
+def test_native_dump_formatter_matches_python():
+    """dumpwriter.cpp must format byte-for-byte like the Python fallback
+    ("%.8g" floats, "%d" ids) so dump files are identical either way."""
+    from tpusph import native
+    rng = np.random.default_rng(0)
+    mat = np.column_stack([
+        np.arange(1, 201, dtype=np.float32),
+        rng.integers(1, 5, 200).astype(np.float32),
+        rng.normal(0, 1e3, 200).astype(np.float32),
+        rng.uniform(1e-9, 1e9, 200).astype(np.float32),
+    ])
+    ints = [0, 1]
+    txt = native.format_dump_rows(mat, ints)
+    if txt is None:
+        import pytest
+        pytest.skip("no native toolchain")
+    exp = []
+    for row in mat:
+        parts = [("%d" % row[i]) if i in ints else ("%.8g" % row[i])
+                 for i in range(mat.shape[1])]
+        exp.append(" ".join(parts))
+    assert txt == "\n".join(exp) + "\n"

@@ -91,6 +91,7 @@ def test_strip_variants_match_cellgrid():
                                        err_msg=field)
 
 
+@pytest.mark.slow
 def test_strip_dynamics_matches_cellgrid():
     """A short dynamic run (rebuilds firing, seam ghosts re-made, particles
     crossing the periodic z seam) through the Simulation API must agree

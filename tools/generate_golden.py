@@ -39,6 +39,18 @@ CASES = {
         pre=["thermo 40", "thermo_style custom step time ke density"],
         run=200,
     ),
+    "bubble_rise": dict(
+        path="cases/bubble_rise/in.bubble_rise",
+        var={"dx": "0.08"},
+        pre=["thermo 30", "thermo_style custom step time ke atoms"],
+        run=150,
+    ),
+    "boiling": dict(
+        path="cases/boiling/in.boiling",
+        var={"dx": "0.08"},
+        pre=["thermo 30", "thermo_style custom step time ke atoms"],
+        run=150,
+    ),
 }
 
 

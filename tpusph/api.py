@@ -65,7 +65,11 @@ class Simulation:
 
         self._runner: Optional[Runner] = None
         self._runner_key = None
-        self.end_of_step_hook = None   # (state, tables, dt, istep, aux)->state,aux
+        # Modify::end_of_step registry (fix dispatch — SURVEY §2.7): named
+        # hooks (state, tables, dt, istep, aux, backend, box)->(state, aux)
+        # composed in insertion order into end_of_step_hook for the Runner.
+        self._eos_hooks: Dict[str, Callable] = {}
+        self.end_of_step_hook = None
         self.aux = None
         self.restart_schedule = None
         self.phase_change_config = None
@@ -98,6 +102,33 @@ class Simulation:
         self.state = None
         self.aux = None
 
+    def add_end_of_step_hook(self, name: str, hook: Callable):
+        """Register a named Modify::end_of_step fix hook; hooks run in
+        insertion order inside the jitted step."""
+        self._eos_hooks[name] = hook
+        self._compose_eos_hooks()
+
+    def remove_end_of_step_hook(self, name: str):
+        if name in self._eos_hooks:
+            del self._eos_hooks[name]
+            self._compose_eos_hooks()
+
+    def _compose_eos_hooks(self):
+        hooks = tuple(self._eos_hooks.values())
+        if not hooks:
+            self.end_of_step_hook = None
+        elif len(hooks) == 1:
+            self.end_of_step_hook = hooks[0]
+        else:
+            def composed(state, tables, dt, istep, aux, backend, box,
+                         _hooks=hooks):
+                for h in _hooks:
+                    state, aux = h(state, tables, dt, istep, aux, backend,
+                                   box)
+                return state, aux
+            self.end_of_step_hook = composed
+        self._runner = None   # force recompile with the new hook chain
+
     def configure_phase_change(self, config):
         """fix phase_change: evaporation mass exchange (SURVEY §2.3, §3.5).
         Installs the end-of-step hook over the particle pool."""
@@ -110,8 +141,8 @@ class Simulation:
             self.capacity_pad = max(len(self._staged.get("x", ())) // 4, 128)
         self.phase_change_config = config
         self.spec = self.spec._replace(phase_change=True)
-        self.end_of_step_hook = make_end_of_step_hook(config, self.spec)
-        self._runner = None  # force runner rebuild
+        self.add_end_of_step_hook("phase_change",
+                                  make_end_of_step_hook(config, self.spec))
 
     # ------------------------------------------------------------------ setup
 

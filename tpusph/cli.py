@@ -29,7 +29,8 @@ def main(argv=None):
     run_p.add_argument("-echo", default=None, choices=["none", "screen"],
                        help="echo input lines")
     run_p.add_argument("--backend", default=None,
-                       choices=["auto", "dense", "cellgrid", "pallas"],
+                       choices=["auto", "dense", "cellgrid", "pallas",
+                                "band", "strip"],
                        help="force a compute backend")
     run_p.add_argument("--mesh", type=int, default=0,
                        help="decompose over N devices (shard_map bricks)")

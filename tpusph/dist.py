@@ -724,6 +724,8 @@ def partition_state(staged: dict, spec: BrickSpec, mesh: Mesh,
         tag=jnp.asarray(glob["tag"], jnp.int32),
         mobile=jnp.asarray(glob["mobile"], bool),
         owned=jnp.asarray(glob["type"] > 0),
+        rho_c=jnp.zeros(n_tot, jnp.float32),
+        e_c=jnp.zeros(n_tot, jnp.float32),
     )
     sharding = NamedSharding(mesh, P(AXIS))
     st = jax.tree_util.tree_map(lambda a: jax.device_put(a, sharding), st)

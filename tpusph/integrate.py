@@ -26,14 +26,27 @@ import jax.numpy as jnp
 from tpusph.state import Box, ParticleState
 
 
+def _kahan_add(acc, comp, inc):
+    """Compensated acc += inc (two-sum): fp32 `rho += dtf*drho` rounds at
+    ulp(acc) per add, a random walk past 1e-3 relative over 5k steps
+    (SURVEY §7.2 accuracy gate); the compensation keeps the lost bits.
+    XLA preserves IEEE ordering, so the correction is not folded away."""
+    y = inc - comp
+    t = acc + y
+    comp = (t - acc) - y
+    return t, comp
+
+
 def initial_integrate(state: ParticleState, dt: float, box: Box) -> ParticleState:
     dtf = 0.5 * dt
     alive = state.alive
     move = alive & state.mobile
     movef = move[:, None]
 
-    e = jnp.where(alive, state.e + dtf * state.de, state.e)
-    rho = jnp.where(alive, state.rho + dtf * state.drho, state.rho)
+    e, e_c = _kahan_add(state.e, state.e_c,
+                        jnp.where(alive, dtf * state.de, 0.0))
+    rho, rho_c = _kahan_add(state.rho, state.rho_c,
+                            jnp.where(alive, dtf * state.drho, 0.0))
 
     m_safe = jnp.where(move, state.rmass, 1.0)
     dtfm = (dtf / m_safe)[:, None]
@@ -45,7 +58,8 @@ def initial_integrate(state: ParticleState, dt: float, box: Box) -> ParticleStat
     # so the cell grid's periodic-image topology stays consistent between
     # rebuilds. The dense backend wraps every step.
 
-    return dataclasses.replace(state, x=x, v=v, vest=vest, e=e, rho=rho)
+    return dataclasses.replace(state, x=x, v=v, vest=vest, e=e, rho=rho,
+                               e_c=e_c, rho_c=rho_c)
 
 
 def final_integrate(state: ParticleState, dt: float) -> ParticleState:
@@ -56,6 +70,9 @@ def final_integrate(state: ParticleState, dt: float) -> ParticleState:
     m_safe = jnp.where(move, state.rmass, 1.0)
     dtfm = (dtf / m_safe)[:, None]
     v = jnp.where(move[:, None], state.v + dtfm * state.f, state.v)
-    e = jnp.where(alive, state.e + dtf * state.de, state.e)
-    rho = jnp.where(alive, state.rho + dtf * state.drho, state.rho)
-    return dataclasses.replace(state, v=v, e=e, rho=rho)
+    e, e_c = _kahan_add(state.e, state.e_c,
+                        jnp.where(alive, dtf * state.de, 0.0))
+    rho, rho_c = _kahan_add(state.rho, state.rho_c,
+                            jnp.where(alive, dtf * state.drho, 0.0))
+    return dataclasses.replace(state, v=v, e=e, rho=rho, e_c=e_c,
+                               rho_c=rho_c)

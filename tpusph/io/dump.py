@@ -132,12 +132,17 @@ class Dump:
         self.columns = cols
         f.write("ITEM: ATOMS %s\n" % " ".join(cols))
         data = self._column_data(sim, dev, order, box)
-        mat = np.column_stack([data[c] for c in cols])
+        mat = np.column_stack([data[c] for c in cols]).astype(np.float32)
         ints = [i for i, c in enumerate(cols) if c in ("id", "type")]
-        for row in mat:
-            parts = [("%d" % row[i]) if i in ints else ("%.8g" % row[i])
-                     for i in range(len(cols))]
-            f.write(" ".join(parts) + "\n")
+        from tpusph import native
+        txt = native.format_dump_rows(mat, ints)
+        if txt is not None:
+            f.write(txt)
+        else:  # no toolchain: Python fallback, same format
+            for row in mat:
+                parts = [("%d" % row[i]) if i in ints else ("%.8g" % row[i])
+                         for i in range(len(cols))]
+                f.write(" ".join(parts) + "\n")
         f.flush()
 
     def close(self):

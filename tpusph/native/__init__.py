@@ -16,6 +16,7 @@ import numpy as np
 
 _HERE = os.path.dirname(os.path.abspath(__file__))
 _SRC = os.path.join(_HERE, "datafile.cpp")
+_SRC2 = os.path.join(_HERE, "dumpwriter.cpp")
 _LIB = os.path.join(_HERE, "libtpusph_datafile.so")
 _lock = threading.Lock()
 _lib = None
@@ -25,7 +26,8 @@ _tried = False
 def _build() -> bool:
     try:
         subprocess.run(
-            ["g++", "-O3", "-std=c++17", "-shared", "-fPIC", "-o", _LIB, _SRC],
+            ["g++", "-O3", "-std=c++17", "-shared", "-fPIC", "-o", _LIB,
+             _SRC, _SRC2],
             check=True, capture_output=True, timeout=120)
         return True
     except Exception:
@@ -40,8 +42,8 @@ def get_lib():
         if _lib is not None or _tried:
             return _lib
         _tried = True
-        if not os.path.exists(_LIB) or \
-                os.path.getmtime(_LIB) < os.path.getmtime(_SRC):
+        src_mtime = max(os.path.getmtime(_SRC), os.path.getmtime(_SRC2))
+        if not os.path.exists(_LIB) or os.path.getmtime(_LIB) < src_mtime:
             if not _build():
                 return None
         try:
@@ -52,6 +54,10 @@ def get_lib():
                 ctypes.c_int, ctypes.POINTER(ctypes.c_float)]
             lib.tpusph_count_rows.restype = ctypes.c_long
             lib.tpusph_count_rows.argtypes = [ctypes.c_char_p, ctypes.c_long]
+            lib.tpusph_format_rows.restype = ctypes.c_long
+            lib.tpusph_format_rows.argtypes = [
+                ctypes.POINTER(ctypes.c_float), ctypes.c_long, ctypes.c_int,
+                ctypes.POINTER(ctypes.c_int), ctypes.c_char_p, ctypes.c_long]
             _lib = lib
         except OSError:
             _lib = None
@@ -76,3 +82,28 @@ def parse_table(text: str, nrows: int, ncols: int):
     if got != nrows:
         raise ValueError(f"expected {nrows} data rows, found {got}")
     return out
+
+
+def format_dump_rows(mat, int_cols) -> "str | None":
+    """Format a (nrows, ncols) float32 matrix as LAMMPS dump rows
+    ("%.8g" floats / "%d" ids) in native code; None -> caller falls back
+    to the Python loop. ~10x a Python row loop at 1M rows."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    mat = np.ascontiguousarray(mat, np.float32)
+    nrows, ncols = mat.shape
+    if nrows == 0:
+        return ""
+    mask = np.zeros(ncols, np.int32)
+    for c in int_cols:
+        mask[c] = 1
+    cap = nrows * (ncols * 18 + 2) + 16
+    buf = ctypes.create_string_buffer(cap)
+    n = lib.tpusph_format_rows(
+        mat.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        nrows, ncols, mask.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
+        buf, cap)
+    if n < 0:
+        return None
+    return buf.raw[:n].decode("ascii")

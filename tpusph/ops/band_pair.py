@@ -316,7 +316,7 @@ def _field_list(fields: dict):
             fields["v0"], fields["v1"], fields["v2"],
             fields["rho"], fields["e"], fields["m"], fields["type_f"],
             fields.get("cg0", z), fields.get("cg1", z), fields.get("cg2", z),
-            fields["cv"]]
+            fields["cv"], fields.get("mix", z)]
     cols += [z] * (F_ROWS - len(cols))
     return cols
 
@@ -556,6 +556,11 @@ class BandBackend:
     def _band_row(self, f, row_id: int):
         return band_row(f, row_id, self.geom)
 
+    def _mixed_flags(self, fields):
+        """Per-slot mixed-phase-neighborhood flag for the cgrad skip, or
+        None when the backend's kernel doesn't implement the skip."""
+        return None
+
     def _update_rows(self, i_arr, band, fields, row_ids):
         """Refresh only the given F-rows of the packed arrays after a sweep
         updated their fields (rho after rhosum, cg after colorgradient) —
@@ -614,6 +619,12 @@ class BandBackend:
         n = geom.n_slots
         alive = state.alive
         fields = _state_fields(state)
+        if spec.surface_tension:
+            mix = self._mixed_flags(fields)
+            if mix is not None:
+                # per-tile mixed-phase flag (RMIX row): single-phase tiles
+                # skip the cgrad sweep entirely (their cg is exactly zero)
+                fields["mix"] = mix
         tabs = pack_tables(tables)
         i_arr = self._pack_i(fields)
         band = self._pack_band(fields)

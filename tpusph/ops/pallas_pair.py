@@ -49,6 +49,7 @@ from tpusph.state import Box, ParticleState
 F_ROWS = 16
 RX, RY, RZ, RVX, RVY, RVZ, RRHO, RE, RM, RTYPE, RCGX, RCGY, RCGZ = range(13)
 RCV = 13  # per-particle heat capacity (heatconduction/phasechange pinning)
+RMIX = 14  # per-tile mixed-phase flag (strip cgrad sweep skip)
 # output rows (8)
 OFX, OFY, OFZ, ODRHO, ODE, ORHO, OCGX, OCGY = range(8)
 

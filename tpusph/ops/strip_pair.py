@@ -61,7 +61,7 @@ from tpusph.ops.band_pair import (
     _field_list, needs_rebuild,
 )
 from tpusph.ops.pallas_pair import (
-    F_ROWS, RTYPE, OFX, OFY, OFZ, ODRHO, ODE, ORHO, OCGX, OCGY,
+    F_ROWS, RTYPE, RMIX, OFX, OFY, OFZ, ODRHO, ODE, ORHO, OCGX, OCGY,
 )
 from tpusph.params import PhysicsSpec
 from tpusph.state import Box, ParticleState
@@ -419,9 +419,9 @@ def build_strips(state: ParticleState, geom: StripGeometry, box: Box,
     for j, nm in enumerate(payload_names):
         fieldmap[nm] = pvals[9 + j]
     zeros3 = jnp.zeros((n, 3), jnp.float32)
+    zn = jnp.zeros(n, jnp.float32)
     new_state = dataclasses.replace(
-        state, f=zeros3, drho=jnp.zeros(n, jnp.float32),
-        de=jnp.zeros(n, jnp.float32), **fieldmap)
+        state, f=zeros3, drho=zn, de=zn, rho_c=zn, e_c=zn, **fieldmap)
 
     # ---- seam-ghost bands: fixed-size gather/scatter ---------------------
     if geom.col_periodic and (head or geom.tail):
@@ -589,7 +589,10 @@ def make_strip_kernel(geom: StripGeometry, spec: PhysicsSpec, ntypes: int,
     n_out = tile_physics.SWEEP_N_OUT[sweep]
     # tiles per program: amortizes per-program overhead (grid sequencing,
     # DMA issue) over more compute; must divide ntiles
-    t_blk = next(t for t in (4, 2, 1) if geom.ntiles % t == 0)
+    # 2 tiles/program: ~same throughput as 4 (4.43M vs 4.40M p-s/s @1M)
+    # at roughly half the Mosaic compile time
+    t_blk = int(__import__('os').environ.get('TPUSPH_STRIP_TBLK', '0')) \
+        or next(t for t in (2, 1) if geom.ntiles % t == 0)
 
     def kernel(scal_ref, tabs_ref, i_ref, *refs):
         out_ref = refs[-1]
@@ -597,10 +600,13 @@ def make_strip_kernel(geom: StripGeometry, spec: PhysicsSpec, ntypes: int,
         cidx = pl.program_id(0)
         tabs2d, vec_cols, vec_rows = tile_physics.unpack_tables(tabs_ref, T1)
 
-        for tt in range(t_blk):
+        # loop (not unroll) the tiles of this program: the body compiles
+        # once — a t_blk-times unrolled body made Mosaic compile times
+        # explode. Dynamic indexing on the leading dims is allowed.
+        def tile_body(tt, carry):
             i_tile = i_ref[0, tt]              # (TS, F)
 
-            def _body(i_tile=i_tile, tt=tt):
+            def _body():
                 lk = tile_physics.Lookups(scal_ref, tabs2d, vec_cols,
                                           vec_rows, spec, T1)
                 hoist = tile_physics.hoist_i(i_tile, lk, spec, sweep)
@@ -618,7 +624,27 @@ def make_strip_kernel(geom: StripGeometry, spec: PhysicsSpec, ntypes: int,
                 for row, acc in zip(out_rows, accs):
                     out_ref[0, tt, :, row] = acc
 
-            pl.when(jnp.any(i_tile[:, RTYPE] > 0.5))(_body)
+            if sweep == "cgrad":
+                # single-phase neighborhoods have exactly-zero color
+                # gradients: skip the window sweeps, write zeros (the out
+                # block is uninitialized memory otherwise)
+                do = jnp.any(i_tile[:, RTYPE] > 0.5) \
+                    & jnp.any(i_tile[:, RMIX] > 0.5)
+
+                def _zeros():
+                    for row in (OCGX, OCGY, ODE):
+                        out_ref[0, tt, :, row] = jnp.zeros((TS,), jnp.float32)
+
+                pl.when(do)(_body)
+                pl.when(jnp.logical_not(do))(_zeros)
+            else:
+                pl.when(jnp.any(i_tile[:, RTYPE] > 0.5))(_body)
+            return carry
+
+        if t_blk == 1:
+            tile_body(0, 0)
+        else:
+            jax.lax.fori_loop(0, t_blk, tile_body, 0)
 
     in_specs = [pl.BlockSpec(memory_space=pltpu.SMEM),
                 pl.BlockSpec(memory_space=pltpu.VMEM),
@@ -678,6 +704,39 @@ class StripBackend(BandBackend):
 
     def _band_row(self, f, row_id: int):
         return window_row(f, row_id, self.geom)
+
+    def _mixed_flags(self, fields):
+        """(n_slots,) f32: 1 where the tile's FULL candidate region (its
+        rank windows across the 9 neighbor columns) contains more than one
+        phase — exactly the tiles whose color gradients can be nonzero."""
+        geom = self.geom
+        ty = fields["type_f"].reshape(geom.ncols, geom.n32, CH)
+        tmax_c = jnp.max(ty, axis=2)                     # (ncols, n32)
+        tmin_c = jnp.min(jnp.where(ty > 0, ty, 99.0), axis=2)
+        t_idx = jnp.arange(geom.ntiles)
+
+        def win_reduce(arr, red, fill):
+            outs = []
+            for cix in range(-geom.mlo, 2 + geom.mhi):
+                ci = 2 * t_idx + cix
+                oob = (ci < 0) | (ci >= geom.n32)
+                v = arr[:, jnp.clip(ci, 0, geom.n32 - 1)]
+                outs.append(jnp.where(oob[None, :], fill, v))
+            return red(jnp.stack(outs), axis=0)
+
+        wmax = win_reduce(tmax_c, jnp.max, 0.0)          # (ncols, ntiles)
+        wmin = win_reduce(tmin_c, jnp.min, 99.0)
+        maxs, mins = [], []
+        for ox, oy in _neighbor_offsets(geom):
+            perm, valid = _plane_neighbor_perm(geom, ox, oy)
+            vm = jnp.asarray(valid)[:, None]
+            maxs.append(jnp.where(vm, wmax[jnp.asarray(perm)], 0.0))
+            mins.append(jnp.where(vm, wmin[jnp.asarray(perm)], 99.0))
+        gmax = jnp.max(jnp.stack(maxs), axis=0)
+        gmin = jnp.min(jnp.stack(mins), axis=0)
+        mixed = (gmax > gmin + 0.5) & (gmin < 90.0)
+        return jnp.repeat(mixed.astype(jnp.float32).reshape(-1), TS,
+                          total_repeat_length=geom.n_slots)
 
     def init_aux(self, state: ParticleState, box: Box):
         return build_strips(self.resize(state), self.geom, box)

@@ -574,6 +574,10 @@ class Interpreter:
             gid, style, rest = self.fixes.pop(fid)
             if style == "gravity":
                 self.sim.spec = self.sim.spec._replace(gravity=False)
+            elif style == "phase_change":
+                self.sim.remove_end_of_step_hook("phase_change")
+                self.sim.phase_change_config = None
+                self.sim.spec = self.sim.spec._replace(phase_change=False)
 
     def cmd_compute(self, a):
         cid, gid, style = a[0], a[1], a[2]

@@ -96,6 +96,13 @@ class ParticleState:
     tag: jax.Array    # (N,) i32
     mobile: jax.Array  # (N,) bool
     owned: jax.Array   # (N,) bool; False = halo ghost (dist mode)
+    # Kahan compensation for the rho/e half-step ledgers (SURVEY §7.2: the
+    # 1e-4 gate): fp32 `rho += dtf*drho` rounds at ulp(rho) ~ 1.2e-4 per
+    # add — a random walk past 1e-3 relative over 5k steps. The two-sum
+    # keeps the lost low bits. Reset (not carried) at rebuild/migration:
+    # the dropped correction is bounded by one ulp.
+    rho_c: jax.Array   # (N,) f32
+    e_c: jax.Array     # (N,) f32
 
     @property
     def capacity(self) -> int:
@@ -122,6 +129,7 @@ class ParticleState:
             tag=jnp.zeros((capacity,), jnp.int32),
             mobile=jnp.ones((capacity,), bool),
             owned=jnp.ones((capacity,), bool),
+            rho_c=fz(capacity), e_c=fz(capacity),
         )
 
     @staticmethod
@@ -162,6 +170,7 @@ class ParticleState:
             tag=pad(tag if tag is not None else np.arange(1, n + 1), 0, np.int32),
             mobile=pad(mobile if mobile is not None else np.ones(n, bool), False, bool),
             owned=pad(np.ones(n, bool), False, bool),
+            rho_c=pad(None), e_c=pad(None),
         )
 
     def permute(self, perm: jax.Array) -> "ParticleState":
