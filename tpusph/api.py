@@ -240,8 +240,12 @@ class Simulation:
     def pair_lj(self):
         self.spec = self.spec._replace(lj=True, tait=False)
 
-    def pair_rhosum(self, every: int = 1):
-        self.spec = self.spec._replace(rhosum_every=every)
+    def pair_rhosum(self, every: int = 1, number_density: bool = False):
+        """sph/rhosum N, or the multiphase number-density form
+        (sph/rhosum/multiphase: rho_i = m_i sum_j W — Hu & Adams 2006),
+        which keeps each phase at its own density at any mass ratio."""
+        self.spec = self.spec._replace(rhosum_every=every,
+                                       rhosum_nd=bool(number_density))
 
     def pair_heatconduction(self, phasechange: bool = False):
         """sph/heatconduction, or the fork's /phasechange variant: pairs

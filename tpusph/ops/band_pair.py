@@ -637,17 +637,23 @@ class BandBackend:
         if spec.rhosum_every > 0:
             out = run("rho")
             rho_sum = out[:, ORHO]
-            # self term m_i W(0), per-type scalar (no per-row table gather)
+            # self term W(0), per-type scalar (no per-row table gather);
+            # x m_i per term for mass summation, or once over the whole
+            # sum for the multiphase number-density form
             w_fn = kernels.kernel_w(spec.kernel, spec.dim)
+            sm = 1.0 if spec.rhosum_nd else state.rmass
             w0 = jnp.zeros(n, jnp.float32)
             for t in range(1, self.ntypes + 1):
                 cut_t = tables.cut_rho[t, t]
                 w0_t = jnp.where(cut_t > 0.0,
                                  w_fn(jnp.zeros(()),
                                       jnp.maximum(cut_t, 1e-30)), 0.0)
-                w0 = w0 + jnp.where(state.type == t, state.rmass * w0_t, 0.0)
+                w0 = w0 + jnp.where(state.type == t, sm * w0_t, 0.0)
+            total = rho_sum + w0
+            if spec.rhosum_nd:
+                total = total * state.rmass
             recompute = (jnp.asarray(istep) % spec.rhosum_every) == 0
-            rho = jnp.where(recompute & alive, rho_sum + w0, rho)
+            rho = jnp.where(recompute & alive, total, rho)
             fields["rho"] = rho
             i_arr, band = self._update_rows(i_arr, band, fields, (RRHO,))
 

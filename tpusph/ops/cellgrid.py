@@ -151,7 +151,10 @@ class CellGridBackend:
         self_cut = tables.cut_rho[state.type, state.type]
         w0 = kernels.kernel_w(spec.kernel, spec.dim)(
             jnp.zeros_like(self_cut), jnp.maximum(self_cut, 1e-30))
-        rho = rho + jnp.where(state.alive & (self_cut > 0.0), state.rmass * w0, 0.0)
+        sm = 1.0 if spec.rhosum_nd else state.rmass
+        rho = rho + jnp.where(state.alive & (self_cut > 0.0), sm * w0, 0.0)
+        if spec.rhosum_nd:
+            rho = rho * state.rmass
         return jnp.where(state.alive, rho, state.rho)
 
     def color_gradient(self, state, tables: PairTables, spec: PhysicsSpec,

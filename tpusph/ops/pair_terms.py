@@ -127,9 +127,12 @@ def lj_sound_speed(rho, e, rmass, gamma):
 
 
 def rho_summation_pair(pj, r, cut_ij, mask, spec: PhysicsSpec):
-    """m_j W(r) contribution of j to rho_i (sph/rhosum)."""
+    """Contribution of j to rho_i: m_j W(r) (sph/rhosum), or W(r) under the
+    multiphase number-density form (rho_i = m_i sum W — spec.rhosum_nd;
+    the caller multiplies by m_i after adding the self term)."""
     w = kernels.kernel_w(spec.kernel, spec.dim)(r, jnp.maximum(cut_ij, 1e-30))
-    return jnp.where(mask & (cut_ij > 0.0), pj["rmass"] * w, 0.0)
+    mass = 1.0 if spec.rhosum_nd else pj["rmass"]
+    return jnp.where(mask & (cut_ij > 0.0), mass * w, 0.0)
 
 
 def color_gradient_pair(pi, pj, dx, r, coefs, mask, spec: PhysicsSpec):

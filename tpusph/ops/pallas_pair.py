@@ -315,7 +315,8 @@ def make_column_kernel(cg: ColumnGrid, spec: PhysicsSpec, ntypes: int,
                 cut = c2d("cut_rho")
                 live = mask & (rsq < cut * cut) & (cut > 0.0)
                 w = w_fn(r, jnp.maximum(cut, 1e-30))
-                return (jnp.sum(jnp.where(live, m_j * w, 0.0), axis=1),)
+                mass = 1.0 if spec.rhosum_nd else m_j
+                return (jnp.sum(jnp.where(live, mass * w, 0.0), axis=1),)
 
             if sweep == "cgrad":
                 cut = c2d("cut_tension")
@@ -620,8 +621,10 @@ class PallasBackend:
         self_cut = tables.cut_rho[state.type, state.type]
         w0 = kernels.kernel_w(spec.kernel, spec.dim)(
             jnp.zeros_like(self_cut), jnp.maximum(self_cut, 1e-30))
-        rho = rho + jnp.where(state.alive & (self_cut > 0.0),
-                              state.rmass * w0, 0.0)
+        sm = 1.0 if spec.rhosum_nd else state.rmass
+        rho = rho + jnp.where(state.alive & (self_cut > 0.0), sm * w0, 0.0)
+        if spec.rhosum_nd:
+            rho = rho * state.rmass
         return jnp.where(state.alive, rho, state.rho)
 
     def color_gradient(self, state, tables, spec, box, aux, **_):
@@ -674,14 +677,17 @@ class PallasBackend:
             m_dense = dense[:, :, RM, :]
             w_fn = kernels.kernel_w(spec.kernel, spec.dim)
             w0_sum = jnp.zeros_like(rho_dense)
+            sm_dense = 1.0 if spec.rhosum_nd else m_dense
             for t in range(1, self.ntypes + 1):
                 cut_t = tables.cut_rho[t, t]
                 w0_t = jnp.where(cut_t > 0.0,
                                  w_fn(jnp.zeros(()), jnp.maximum(cut_t, 1e-30)),
                                  0.0)
-                w0_sum = w0_sum + jnp.where(type_dense == t, m_dense * w0_t,
+                w0_sum = w0_sum + jnp.where(type_dense == t, sm_dense * w0_t,
                                             0.0)
             rho_dense = rho_dense + w0_sum
+            if spec.rhosum_nd:
+                rho_dense = rho_dense * m_dense
             recompute = (jnp.asarray(istep) % spec.rhosum_every) == 0
             old = dense[:, :, RRHO, :]
             alive_d = type_dense > 0.5

@@ -216,7 +216,10 @@ def _apply_phase_change(state: ParticleState, tables: PairTables, istep,
         e=state.e - jnp.where(can, e_cost, 0.0),
     )
 
-    # new vapor particle fields
+    # new vapor particle fields. Insertion direction: TOWARD the nearest
+    # vapor neighbor when there is one (the new vapor joins the vapor
+    # phase; a random direction rams a full-mass vapor particle into the
+    # liquid lattice and locally crushes both phases), random otherwise.
     theta = jax.random.uniform(jax.random.fold_in(key, 1), (n,)) * 2 * jnp.pi
     if spec.dim == 3:
         phi = jnp.arccos(jnp.clip(
@@ -228,6 +231,13 @@ def _apply_phase_change(state: ParticleState, tables: PairTables, istep,
     else:
         offset = jnp.stack([jnp.cos(theta), jnp.sin(theta),
                             jnp.zeros(n)], axis=-1)
+    if config.require_interface:
+        vx = state.x[jnp.clip(vnearest, 0, n - 1)]
+        to_vap = box.min_image(vx - state.x)
+        nrm = jnp.sqrt(jnp.sum(to_vap * to_vap, axis=-1, keepdims=True))
+        dir_v = to_vap / jnp.maximum(nrm, 1e-30)
+        offset = jnp.where(((vcount > 0) & (nrm[:, 0] > 1e-12))[:, None],
+                           dir_v, offset)
     new_x = state.x + config.insert_offset * offset
     max_tag = jnp.max(jnp.where(state.alive, state.tag, 0))
     if getattr(backend, "is_dist", False):

@@ -217,7 +217,8 @@ def tile_part_sums(i_tile, j_tile, shift, hoist, lk: Lookups,
         cut = c2d("cut_rho")
         live = mask & (rsq < cut * cut) & (cut > 0.0)
         w = w_fn(r, jnp.maximum(cut, 1e-30))
-        return (jnp.sum(jnp.where(live, m_j_raw * w, 0.0), axis=1),)
+        mass = 1.0 if spec.rhosum_nd else m_j_raw
+        return (jnp.sum(jnp.where(live, mass * w, 0.0), axis=1),)
 
     if sweep == "cgrad":
         cut, live, wfd = term_ctx("cut_tension")

@@ -37,6 +37,13 @@ class PhysicsSpec(NamedTuple):
     kernel: int = kernels.LUCY   # smoothing kernel id (kernels.py)
     # pair styles in the overlay (SURVEY.md §2.2/2.3):
     rhosum_every: int = 0        # sph/rhosum N  (0 = continuity-only density)
+    # sph/rhosum/multiphase: Hu & Adams (2006) NUMBER-density summation
+    # rho_i = m_i * sum_j W_ij — each phase keeps its own density at any
+    # mass ratio (plain mass summation inflates a light particle's rho by
+    # ~the density ratio when heavy neighbors dominate its kernel support,
+    # detonating its Tait EOS). The fork's density-ratio-10 bubble/boiling
+    # configs need this form.
+    rhosum_nd: bool = False
     tait: bool = False           # sph/taitwater (artificial viscosity)
     morris: bool = False         # sph/taitwater/morris (laminar viscosity)
     ideal_gas: bool = False      # sph/idealgas

@@ -473,6 +473,9 @@ class Interpreter:
             name = s[0]
             if name == "sph/rhosum":
                 self.sim.pair_rhosum(int(s[1]) if len(s) > 1 else 1)
+            elif name in ("sph/rhosum/multiphase", "sph/rhosum/nd"):
+                self.sim.pair_rhosum(int(s[1]) if len(s) > 1 else 1,
+                                     number_density=True)
             elif name == "sph/taitwater":
                 self.sim.pair_taitwater(morris=False)
             elif name in ("sph/taitwater/morris", "sph/taitwater_morris"):
@@ -515,7 +518,8 @@ class Interpreter:
             for j in self._type_range(jj):
                 if j < i:
                     continue
-                if style == "sph/rhosum":
+                if style in ("sph/rhosum", "sph/rhosum/multiphase",
+                             "sph/rhosum/nd"):
                     t.set_rhosum(i, j, h=args[0])
                 elif style in ("sph/taitwater", "sph/taitwater/morris",
                                "sph/taitwater_morris"):
