@@ -16,6 +16,10 @@ def main():
     n = int(os.environ.get("TPUSPH_BENCH_PARTICLES", 1_000_000))
     steps = int(os.environ.get("TPUSPH_BENCH_STEPS", 50))
     backend = os.environ.get("TPUSPH_BENCH_BACKEND", "auto")
+    # headline mode: `dynamic` — density contrast + thermal field, so timed
+    # windows contain the production rebuild cadence (r2 VERDICT #8); the
+    # quiescent kernel ceiling remains available as TPUSPH_BENCH_MODE=uniform
+    mode = os.environ.get("TPUSPH_BENCH_MODE", "dynamic")
 
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     from tpusph.bench import run_bench
@@ -27,7 +31,7 @@ def main():
             continue
         try:
             result = run_bench(n_particles=size, n_steps=steps,
-                               backend=backend)
+                               backend=backend, mode=mode)
             break
         except Exception as err:  # OOM / flaky device: step down
             sys.stderr.write(f"bench at {size} particles failed ({err}); "
@@ -35,8 +39,8 @@ def main():
     if result is None:
         # last resort: tiny run on the XLA cell-grid backend (no Mosaic)
         sys.stderr.write("falling back to cellgrid backend at 8k\n")
-        result = run_bench(n_particles=8_000, n_steps=3,
-                           backend="cellgrid", warmup_steps=1)
+        result = run_bench(n_particles=8_000, n_steps=3, backend="cellgrid",
+                           warmup_steps=1, mode=mode)
     print(json.dumps(result))
 
 

@@ -102,6 +102,79 @@ def test_bricks_with_pallas_inner():
     np.testing.assert_allclose(a["rho"], b["rho"], rtol=2e-4)
 
 
+def test_bricks_with_strip_inner():
+    """Bricks with the STRIP kernel per brick (r2 VERDICT #3): the fast
+    path must survive decomposition — migration, staged ghosts, seam-band
+    recopy of halo ghosts — and match the single-device trajectory."""
+    from tpusph.ops.strip_pair import StripBackend
+
+    sim1, a = run_case(1, nsteps=30)
+    sim4, b = run_case(4, nsteps=30, backend="strip")
+    assert isinstance(sim4._runner.backend.inner, StripBackend)
+    assert sim4.natoms == sim1.natoms
+    L = np.array([3.2, 1.6, 1.0])
+    dx = a["x"] - b["x"]
+    dx -= L * np.round(dx / L)
+    np.testing.assert_allclose(dx, 0.0, atol=5e-4)
+    np.testing.assert_allclose(a["rho"], b["rho"], rtol=2e-4)
+    np.testing.assert_allclose(a["e"], b["e"], rtol=2e-4, atol=1e-5)
+    ov = int(np.sum(np.asarray(jax.device_get(sim4.aux.overflow))))
+    assert ov == 0
+
+
+def _cube_case(nbricks, nsteps=30, shape=None, axes=None, backend=None):
+    """3D periodic cube with a diagonal drift — drives particles through
+    3D brick corners (three staged hops) and all periodic seams."""
+    from tpusph.api import Simulation
+
+    n_side, dx = 12, 0.1
+    L = n_side * dx
+    h = 0.25
+    sim = Simulation(dim=3, screen=False)
+    if backend:
+        sim.backend_name = backend
+    elif nbricks == 1:
+        sim.backend_name = "cellgrid"
+    sim.create_box([0, 0, 0], [L, L, L], periodic=(True,) * 3, ntypes=1)
+    rng = np.random.default_rng(5)
+    ax = np.arange(n_side, dtype=np.float32) * dx
+    g = np.stack(np.meshgrid(ax, ax, ax, indexing="ij"), -1).reshape(-1, 3)
+    g = (g + rng.uniform(-0.01 * dx, 0.01 * dx, g.shape)).astype(np.float32)
+    v = np.broadcast_to(np.asarray([0.15, 0.11, 0.13], np.float32),
+                        g.shape).copy()
+    sim.add_particles(g, 1, v=v, rho=1.0, e=1.0, cv=1.0, rmass=dx**3)
+    sim.pair_rhosum(3)
+    sim.pair_taitwater()
+    sim.tables.set_taitwater(1, 1, rho0=1.0, c0=5.0, viscosity=0.3, h=h)
+    sim.tables.set_rhosum(1, 1, h=h)
+    sim.neighbor_skin = 0.1
+    sim.dt = 2e-4
+    sim.thermo(0)
+    if nbricks > 1:
+        sim.set_mesh(nbricks, shape=shape, axes=axes)
+    sim.run(nsteps)
+    return sim
+
+
+def test_bricks_3d_222_corner_migration():
+    """(2,2,2) procgrid over 8 devices (comm.cpp 3-axis procgrid — SURVEY
+    §2.5, r2 VERDICT #5): diagonal drift through a full 3D corner, staged
+    3-hop migration/ghosts, equivalence to the single-device run."""
+    sim1 = _cube_case(1)
+    sim8 = _cube_case(8, shape=(2, 2, 2), axes=(0, 1, 2))
+    assert sim8.brick_spec.shape == (2, 2, 2)
+    assert sim8.brick_spec.axes == (0, 1, 2)
+    assert sim8.natoms == sim1.natoms
+    assert np.array_equal(sim1.get("tag"), sim8.get("tag"))
+    L = np.array([1.2, 1.2, 1.2])
+    dx = sim1.get("x") - sim8.get("x")
+    dx -= L * np.round(dx / L)
+    np.testing.assert_allclose(dx, 0.0, atol=5e-4)
+    np.testing.assert_allclose(sim1.get("rho"), sim8.get("rho"), rtol=2e-4)
+    ov = int(np.sum(np.asarray(jax.device_get(sim8.aux.overflow))))
+    assert ov == 0
+
+
 def test_dist_overflow_counter_visible():
     """The aux overflow counter is observable from the host."""
     interp = Interpreter()

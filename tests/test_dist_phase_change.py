@@ -1,0 +1,122 @@
+"""fix phase_change across bricks (r2 VERDICT #4): 1-brick vs 4-brick CPU
+equivalence on the bubble smoke case with events AT brick seams, insert and
+grow modes. Insert is exactly equivalent (interface counts include ghosts,
+directions use ghost image positions); grow defers events whose nearest
+vapor is a ghost — the test quantifies and bounds that deferral by the
+seam-adjacent candidate count (SURVEY §3.5; ops/phase_change.py:181-184).
+"""
+
+import sys
+
+import numpy as np
+import pytest
+import jax
+
+sys.path.insert(0, "tests")
+from test_phase_change import _bubble_sim  # noqa: E402
+
+pytestmark = pytest.mark.skipif(
+    jax.device_count() < 4, reason="needs >= 4 (virtual) devices")
+
+L = 3.0
+CUTS = (1.5,)  # brick boundary planes per decomposed axis (2,2 over x,y)
+
+
+def _run(nbricks, mode, backend=None, nsteps=20):
+    sim = _bubble_sim(backend or ("cellgrid" if nbricks == 1 else "auto"),
+                      mode=mode)
+    if nbricks > 1:
+        sim.set_mesh(nbricks, shape=(2, 2), axes=(0, 1))
+    tags0 = set(sim.get("tag").tolist())
+    e0 = sim.get("e").copy()
+    x0 = sim.get("x").copy()
+    sim.run(nsteps)
+    return sim, tags0, e0, x0
+
+
+def _phase_mass(sim, phase):
+    t = sim.get("type")
+    return float(sim.get("rmass")[t == phase].sum())
+
+
+@pytest.mark.slow
+def test_dist_phase_change_insert_matches_single():
+    s1, t1, _, _ = _run(1, "insert")
+    s4, t4, _, _ = _run(4, "insert")
+    assert s1.natoms > len(t1), "no evaporation events fired"
+    assert s4.natoms == s1.natoms
+
+    # global tag uniqueness after cross-brick insertion (pmax + stride
+    # minting, ops/phase_change.py:243-249)
+    tags = s4.get("tag")
+    assert len(np.unique(tags)) == len(tags)
+
+    # per-phase mass ledgers to f32 roundoff
+    for phase in (1, 2):
+        assert _phase_mass(s4, phase) == pytest.approx(
+            _phase_mass(s1, phase), rel=1e-5), phase
+
+    # original particles: same trajectories by tag
+    def originals(sim, tags0):
+        tag = sim.get("tag")
+        keep = np.isin(tag, list(tags0))
+        order = np.argsort(tag[keep])
+        return {f: sim.get(f)[keep][order] for f in ("x", "e", "rmass")}
+
+    a = originals(s1, t1)
+    b = originals(s4, t4)
+    for f in ("x", "e", "rmass"):
+        np.testing.assert_allclose(b[f], a[f], rtol=2e-4, atol=2e-5,
+                                   err_msg=f)
+
+    # inserted vapor: identical position multiset (tags/slots differ)
+    def inserted_x(sim, tags0):
+        tag = sim.get("tag")
+        new = ~np.isin(tag, list(tags0))
+        x = sim.get("x")[new]
+        return x[np.lexsort(x.T)]
+
+    xa = inserted_x(s1, t1)
+    xb = inserted_x(s4, t4)
+    assert len(xa) == len(xb)
+    np.testing.assert_allclose(xb, xa, rtol=2e-4, atol=2e-5)
+
+
+@pytest.mark.slow
+def test_dist_phase_change_grow_deferral_bounded():
+    """Grow mode only grows OWNED targets: an event whose nearest vapor is
+    a ghost is deferred (conservation-safe, brick-count-dependent timing —
+    r2 VERDICT weak #5). Gate: mass moves liquid->vapor in both runs, total
+    mass is conserved, and the dist event deficit is bounded by the count
+    of hot liquid within the phase-change cutoff of a brick seam."""
+    s1, _, e1_0, x1_0 = _run(1, "grow")
+    s4, _, _, _ = _run(4, "grow")
+
+    dm = s1.phase_change_config.dm
+    cut = s1.phase_change_config.cutoff
+
+    m_l1 = _phase_mass(s1, 1)
+    m_l4 = _phase_mass(s4, 1)
+    m_tot1 = m_l1 + _phase_mass(s1, 2)
+    m_tot4 = m_l4 + _phase_mass(s4, 2)
+    assert m_tot4 == pytest.approx(m_tot1, rel=1e-5)
+
+    t0 = s1.get("type")  # types never change in grow mode
+    ev1 = round((_phase_mass_initial(s1, x1_0, t0) - m_l1) / dm)
+    ev4 = round((_phase_mass_initial(s4, x1_0, t0) - m_l4) / dm)
+    assert ev1 > 0, "no grow events fired"
+    assert ev4 <= ev1
+    # deferral bound: hot liquid (eligible at t=0) within cut of a seam
+    hot = (t0 == 1) & (e1_0 > 2.0)
+    near_seam = np.zeros(len(x1_0), bool)
+    for ax in (0, 1):
+        for c in CUTS:
+            near_seam |= np.abs(x1_0[:, ax] - c) < cut
+            near_seam |= np.abs(x1_0[:, ax] - (c % L)) < cut
+    assert ev1 - ev4 <= int((hot & near_seam).sum()), (ev1, ev4)
+
+
+def _phase_mass_initial(sim, x0, t0):
+    # initial liquid mass: all liquid started at the same per-particle mass
+    dx = 0.25
+    return float((t0 == 1).sum()) * dx**3

@@ -330,8 +330,7 @@ class Simulation:
             if n <= 2048:
                 name = "dense"
             elif jax.default_backend() == "tpu" and self.tables.ntypes <= 6:
-                name = "pallas" if self.phase_change_config is not None \
-                    else "strip"
+                name = "strip"
             else:
                 name = "cellgrid"
         if name == "dense":
@@ -340,7 +339,10 @@ class Simulation:
             backend = self._select_strip_backend()
             if backend is not None:
                 return backend
-            name = "band"
+            # band has no vapor sweep — phase-change runs that can't strip
+            # fall through to the column kernel's particle pool
+            name = "pallas" if self.phase_change_config is not None \
+                else "band"
         if name == "band":
             backend = self._select_band_backend()
             if backend is not None:
@@ -382,22 +384,28 @@ class Simulation:
 
     def _select_strip_backend(self):
         """Strip backend (ops/strip_pair: z-sorted dense columns) — or None
-        when the configuration can't strip (phase-change pool, >6 types, or
-        a box too small for the seam-ghost bands)."""
-        if self.phase_change_config is not None or self.tables.ntypes > 6:
+        when the configuration can't strip (>6 types, or a box too small for
+        the seam-ghost bands). Phase-change runs strip too (r2 VERDICT #2):
+        insertion activates pool dead slots and forces a rebuild, which
+        re-sorts into fresh strips; the vapor interface query is the strip
+        vapor sweep; column headroom is widened so the growing vapor phase
+        doesn't overflow the per-column budget between geometry choices."""
+        if self.tables.ntypes > 6:
             return None
         from tpusph.ops.strip_pair import StripBackend, choose_strip_geometry
         cutoff = self.tables.max_cut()
         skin = self.neighbor_skin if self.neighbor_skin is not None \
             else 0.3 * cutoff
-        gkey = ("strip", cutoff, skin, self.natoms, self.spec.dim)
+        headroom = 1.35 if self.phase_change_config is not None else 1.08
+        gkey = ("strip", cutoff, skin, self.natoms, self.spec.dim, headroom)
         if getattr(self, "_strip_geom_key", None) != gkey:
             if self.state is not None:
                 self._pull_state()
             x = np.asarray(self._staged["x"])
             self._strip_geom_key = gkey
             self._strip_geom = choose_strip_geometry(
-                self.box, cutoff, self.spec.dim, skin, x=x)
+                self.box, cutoff, self.spec.dim, skin, x=x,
+                headroom=headroom)
         geom = self._strip_geom
         if geom is None:
             return None
@@ -494,6 +502,23 @@ class Simulation:
                 shape=getattr(self, "_mesh_shape", None),
                 axes=getattr(self, "_mesh_axes", None),
                 cuts=getattr(self, "_balance_cuts", None))
+            # strip-per-brick (r2 VERDICT #3): the fast kernel inside each
+            # brick. Falls back to the column kernel / cell grid when the
+            # local box can't strip.
+            strip_geom = None
+            self._dist_local_cap = None
+            want_kernels = jax.default_backend() == "tpu" \
+                or self.backend_name in ("strip", "pallas")
+            if (self.backend_name in ("auto", "strip")
+                    and want_kernels and self.tables.ntypes <= 6):
+                if self.state is not None:
+                    self._pull_state()
+                strip_geom, self._dist_local_cap = \
+                    dist.choose_strip_geometry_dist(
+                        self.box, self.brick_spec, self.spec.dim, cutoff,
+                        skin, np.asarray(self._staged["x"]),
+                        headroom=(1.35 if self.phase_change_config is not None
+                                  else 1.15))
             use_pallas = (self.backend_name == "pallas"
                           or (self.backend_name == "auto"
                               and jax.default_backend() == "tpu"
@@ -502,12 +527,13 @@ class Simulation:
             # default cap would silently need the overflow abort); extra
             # headroom for ghost/migration churn at brick edges
             cap = self.cell_cap
-            if cap is None:
+            if cap is None and strip_geom is None:
                 cap = max(self._measured_cell_cap(cutoff, skin, frac=1.6), 16)
             backend = dist.DistBackend(
                 self.brick_spec, self.box, self.spec.dim, cutoff, skin,
                 cap=cap, rebuild_every=self.reneigh_every,
-                use_pallas=use_pallas, ntypes=self.tables.ntypes)
+                use_pallas=use_pallas, ntypes=self.tables.ntypes,
+                strip_geom=strip_geom)
             self._runner = dist.DistRunner(self.spec, self.box, backend,
                                            self.mesh,
                                            end_of_step=self.end_of_step_hook)
@@ -553,6 +579,13 @@ class Simulation:
     def thermo_style(self, columns: List[str]):
         self.thermo_columns = list(columns)
         self._thermo = None
+        # `press` needs the pair virial accumulated in the force sweep
+        # (thermo.cpp pressure — SURVEY §2.8); flip the static spec flag so
+        # the kernels grow the extra output (recompile, like LAMMPS would
+        # re-init computes)
+        want = "press" in self.thermo_columns
+        if want != self.spec.virial:
+            self.spec = self.spec._replace(virial=want)
 
     def add_thermo_column(self, name: str, fn: Callable):
         """fn(sim, scalars_dict, istep) -> float; referenced by name in
@@ -584,9 +617,14 @@ class Simulation:
             elif c == "density":
                 vals[c] = float(sc["rho_avg"])
             elif c == "press":
-                from tpusph.runner import thermo_pressure
-                vals[c] = float(jax.device_get(
-                    thermo_pressure(state, self.tables, self.spec)))
+                if self.spec.virial:
+                    from tpusph.runner import thermo_virial_pressure
+                    vals[c] = float(jax.device_get(thermo_virial_pressure(
+                        state, self.box, self.spec.dim)))
+                else:
+                    from tpusph.runner import thermo_pressure
+                    vals[c] = float(jax.device_get(
+                        thermo_pressure(state, self.tables, self.spec)))
             elif c in self.custom_columns:
                 vals[c] = float(self.custom_columns[c](self, sc, istep))
             else:
@@ -607,7 +645,8 @@ class Simulation:
                 from tpusph import dist
                 staged = dict(self._staged)
                 self.state, self.local_cap = dist.partition_state(
-                    staged, self.brick_spec, self.mesh)
+                    staged, self.brick_spec, self.mesh,
+                    local_cap=getattr(self, "_dist_local_cap", None))
                 self.aux = None
             else:
                 self._build_state()

@@ -21,8 +21,21 @@ BASELINE_NODE_PSPS = 5.0e7  # estimated reference single-node particle-steps/s
 
 
 def build_bench_sim(n_particles: int, dim: int = 3, multiphase: bool = True,
-                    backend: str = "auto"):
-    """A periodic 3D two-phase block: a vapor sphere inside liquid."""
+                    backend: str = "auto", mode: str = "dynamic"):
+    """A periodic 3D two-phase block: a vapor sphere inside liquid.
+
+    Modes (TPUSPH_BENCH_MODE; r2 VERDICT #8 — the quiescent number alone is
+    a kernel ceiling, not the production workload):
+      uniform — both phases at rho0=1, zero velocities: the kernel-ceiling
+                datapoint (timed windows contain ~no rebuilds).
+      dynamic — real mass-density contrast (vapor rho0 = 0.1 via
+                sph/rhosum/multiphase number-density summation) + thermal
+                velocity field sized so the production rebuild cadence
+                falls inside every timed window.
+      boiling — dynamic + sph/heatconduction/phasechange + fix
+                phase_change: the BASELINE config-5 north-star workload
+                (insertions force rebuilds).
+    """
     import jax
     from tpusph.api import Simulation
 
@@ -36,6 +49,8 @@ def build_bench_sim(n_particles: int, dim: int = 3, multiphase: bool = True,
     h = 3.0 * dx
     rho0 = 1.0
     m = rho0 * dx**dim
+    contrast = mode in ("dynamic", "boiling")
+    rho_v = 0.1 if contrast else rho0
 
     per = (True, True, True) if dim == 3 else (True, True, False)
     sim.create_box([0, 0, 0], [L, L, L if dim == 3 else 1.0],
@@ -53,26 +68,57 @@ def build_bench_sim(n_particles: int, dim: int = 3, multiphase: bool = True,
         c = L / 2.0
         r = np.linalg.norm(g - c, axis=1)
         types[r < L / 5.0] = 2
-    sim.add_particles(g, types, rho=rho0, e=1.0, cv=1.0, rmass=m)
+    vap = types == 2
+    v = None
+    if mode in ("dynamic", "boiling"):
+        # thermal velocity field (Mach ~0.06): max displacement reaches
+        # skin/2 every ~40-60 steps -> >= 1 rebuild per 50-step window
+        rng = np.random.default_rng(7)
+        v = rng.normal(0.0, 0.35, g.shape).astype(np.float32)
+        if dim == 2:
+            v[:, 2] = 0.0
+        v -= v.mean(axis=0, keepdims=True)
+    sim.add_particles(g, types, v=v,
+                      rho=np.where(vap, rho_v, rho0).astype(np.float32),
+                      e=1.0, cv=1.0,
+                      rmass=np.where(vap, rho_v * dx**dim, m
+                                     ).astype(np.float32))
 
-    sim.pair_rhosum(every=1)
+    sim.pair_rhosum(every=1, number_density=contrast)
     sim.pair_taitwater(morris=False)
-    sim.pair_heatconduction()
-    for i in (1, 2) if multiphase else (1,):
-        for j in range(i, (2 if multiphase else 1) + 1):
-            sim.tables.set_taitwater(i, j, rho0=rho0, c0=10.0,
-                                     viscosity=0.3, h=h)
-            sim.tables.set_rhosum(i, j, h=h)
-            sim.tables.set_heatconduction(i, j, d=0.05, h=h)
+    if mode == "boiling":
+        sim.pair_heatconduction(phasechange=True)
+    else:
+        sim.pair_heatconduction()
+    pairs = [(i, j) for i in ((1, 2) if multiphase else (1,))
+             for j in range(i, (2 if multiphase else 1) + 1)]
+    # cross pair first: set_taitwater writes rho0/c0 for BOTH types
+    for i, j in sorted(pairs, key=lambda p: p[0] == p[1]):
+        sim.tables.set_taitwater(i, j, rho0=rho_v if i == j == 2 else rho0,
+                                 c0=10.0, viscosity=0.3, h=h)
+        sim.tables.set_rhosum(i, j, h=h)
+        tsat = 1.5 if (mode == "boiling" and i != j) else 0.0
+        sim.tables.set_heatconduction(i, j, d=0.05, h=h, tsat=tsat)
     if multiphase:
         sim.pair_surfacetension()
         sim.tables.set_surfacetension(1, 2, sigma=0.05, h=h)
+    if mode == "boiling":
+        from tpusph.ops.phase_change import PhaseChangeConfig
+        # hot interface shell: T above threshold there, latent-throttled
+        hot = ~vap & (r < L / 4.0)
+        e0 = np.where(hot, 2.5, 1.0).astype(np.float32)
+        sim._staged["e"][:] = e0
+        sim.configure_phase_change(PhaseChangeConfig(
+            t_threshold=2.0, latent=20.0, dm=0.05 * m, liquid_type=1,
+            vapor_type=2, every=10, prob=0.05, insert_offset=0.5 * dx,
+            cutoff=h, vapor_rho=rho_v))
 
-    # skin = 1 dx makes the cell side exactly 4 dx: uniform 64-particle
-    # occupancy on the sc lattice (tight cap, no misalignment waste) and a
-    # longer rebuild horizon
-    sim.neighbor_skin = 1.0 * dx
-    sim.dt = 2e-3
+    # skin 0.5 dx: the strip chooser lands the one-vreg W=128 window
+    # (commensurate side-4 columns, ts=16/ch=8) — half the lanes of the
+    # r2 skin-1.0 geometry; rebuilds fire ~2x as often, which the dynamic
+    # mode deliberately includes in the metric
+    sim.neighbor_skin = 0.5 * dx
+    sim.dt = 2e-3 if mode == "uniform" else 5e-3
     sim.thermo(0)
     return sim
 
@@ -87,7 +133,8 @@ def _rebuild_count(sim) -> int:
 
 def run_bench(n_particles: int = 1_000_000, n_steps: int = 50, dim: int = 3,
               multiphase: bool = True, backend: str = "auto",
-              warmup_steps: int = 5, n_windows: int = 3) -> dict:
+              warmup_steps: int = 5, n_windows: int = 3,
+              mode: str = "dynamic") -> dict:
     """Median of ``n_windows`` timed windows of ``n_steps`` each, after one
     warmup window with the SAME chunk size (nsteps is a static jit arg: a
     different chunk would recompile inside the timed region). Rebuild counts
@@ -96,7 +143,7 @@ def run_bench(n_particles: int = 1_000_000, n_steps: int = 50, dim: int = 3,
     import jax
 
     sim = build_bench_sim(n_particles, dim=dim, multiphase=multiphase,
-                          backend=backend)
+                          backend=backend, mode=mode)
     n = sim.natoms
 
     sim.run(n_steps)  # warmup: compiles the run block + first rebuilds
@@ -114,10 +161,15 @@ def run_bench(n_particles: int = 1_000_000, n_steps: int = 50, dim: int = 3,
 
     dt_wall = float(np.median(walls))
     psps = n * n_steps / dt_wall
+    styles = {"uniform": "rhosum+taitwater+heatcond+CSF, quiescent",
+              "dynamic": "rhosum/multiphase+taitwater+heatcond+CSF, "
+                         "density contrast 10x + thermal field",
+              "boiling": "rhosum/multiphase+taitwater+heatcond/phasechange"
+                         "+CSF+fix phase_change"}[mode]
     return {
         "metric": f"particle-steps/sec/chip @ {n} particles "
-                  f"({dim}D multiphase: rhosum+taitwater+heatcond+CSF, "
-                  f"backend={backend})",
+                  f"({dim}D multiphase: {styles}, backend={backend})",
+        "mode": mode,
         "value": round(psps, 1),
         "unit": "particle-steps/s",
         # vs_baseline divides by an ESTIMATED reference single-node LAMMPS

@@ -126,6 +126,50 @@ class BrickSpec(NamedTuple):
         return s
 
 
+def local_box(spec: BrickSpec, box_global: Box) -> Box:
+    """The per-brick local box: [-margin, width+margin) and non-periodic
+    along decomposed axes (ghosts materialize cross-brick images
+    explicitly), global extent/periodicity elsewhere. Sized for the WIDEST
+    brick (non-uniform balance cuts leave narrow bricks with empty space)."""
+    lo = np.asarray(box_global.lo, np.float64).copy()
+    hi = np.asarray(box_global.hi, np.float64).copy()
+    per = list(box_global.periodic)
+    for k, ax in enumerate(spec.axes):
+        lo[ax] = -spec.margin
+        hi[ax] = spec.max_width(k) + spec.margin
+        per[ax] = False
+    return Box.create(lo, hi, tuple(per))
+
+
+def brick_local_positions(x: np.ndarray, spec: BrickSpec, box_global: Box):
+    """Host-side: each brick's particle view INCLUDING its margin ghosts,
+    in brick-local coordinates — the worst-case occupancy input for the
+    shared strip geometry choice (every brick runs ONE compiled program, so
+    the geometry must cover all of them)."""
+    x = np.asarray(x, np.float64)
+    views = []
+    for b in range(spec.ndev):
+        coords = spec.coords_of(b)
+        member = np.ones(len(x), bool)
+        local = x.copy()
+        for k, ax in enumerate(spec.axes):
+            off = spec.offsets_of(k)[coords[k]]
+            w_b = spec.widths_of(k)[coords[k]]
+            rel = x[:, ax] - spec.lo[k]
+            if spec.periodic[k]:
+                length = float(np.asarray(box_global.hi)[ax]
+                               - np.asarray(box_global.lo)[ax])
+                rel_m = np.mod(rel - (off - spec.margin), length)
+                member &= rel_m < w_b + 2 * spec.margin
+                local[:, ax] = rel_m - spec.margin
+            else:
+                member &= (rel >= off - spec.margin) & \
+                    (rel < off + w_b + spec.margin)
+                local[:, ax] = rel - off
+        views.append(local[member].astype(np.float32))
+    return views
+
+
 def _shift_axis(arr, spec: BrickSpec, k: int, direction: int):
     """Ring ppermute along decomposed axis k: direction=+1 sends to the
     coordinate+1 neighbor (wrapping). On the ICI torus each hop is a
@@ -196,13 +240,21 @@ class DistAux:
     """Per-brick distribution state (inside shard_map). Side arrays are
     stacked (2*naxes, ...): side index 2k = axis-k lo side, 2k+1 = hi side.
     send_rows[s]: my edge rows packed for the side-s neighbor;
-    ghost_rows[s]: my rows holding ghosts RECEIVED from that neighbor."""
+    ghost_rows[s]: my rows holding ghosts RECEIVED from that neighbor.
+    seam_*: the strip inner's seam-band copy map (src row, dest row with
+    capacity = invalid, column-axis shift) — size 0 for other inners. Seam
+    copies of halo ghosts do not self-evolve correctly (their sources are
+    refreshed by forward_comm, not integrated), so every comm pass re-copies
+    the bands from this map."""
     grid: gridlib.GridData
     send_rows: jax.Array   # (S, G) i32
     n_send: jax.Array      # (S, 1) i32
     ghost_rows: jax.Array  # (S, G) i32
     n_ghost: jax.Array     # (S, 1) i32
     overflow: jax.Array    # (1,) i32 cumulative buffer overflow
+    seam_src: jax.Array    # (K,) i32 strip seam-band source rows
+    seam_dest: jax.Array   # (K,) i32 dest rows (capacity = invalid)
+    seam_shift: jax.Array  # (K,) f32 column-axis position shift
 
 
 class DistBackend:
@@ -214,32 +266,45 @@ class DistBackend:
     def __init__(self, spec: BrickSpec, box_global: Box, dim: int,
                  cutoff: float, skin: float, cap: int | None = None,
                  avg_per_cell: float | None = None, rebuild_every: int = 0,
-                 use_pallas: bool = False, ntypes: int = 1):
+                 use_pallas: bool = False, ntypes: int = 1,
+                 strip_geom=None):
         self.spec = spec
-        lo = np.asarray(box_global.lo, np.float64).copy()
-        hi = np.asarray(box_global.hi, np.float64).copy()
-        per = list(box_global.periodic)
+        self.box_local = local_box(spec, box_global)
+        self.box_global = box_global
+        self._skin = float(skin)
         # per-brick width lookup tables (non-uniform balance cuts); the
         # local grid geometry is static and shared by every brick, so it is
         # sized for the WIDEST brick — narrower bricks leave empty cells
         self._wtab = [np.asarray(spec.widths_of(k), np.float32)
                       for k in range(spec.naxes)]
-        for k, ax in enumerate(spec.axes):
-            lo[ax] = -spec.margin
-            hi[ax] = spec.max_width(k) + spec.margin
-            per[ax] = False  # ghosts materialize cross-brick images explicitly
-        self.box_local = Box.create(lo, hi, tuple(per))
-        self.box_global = box_global
-        self.geom = gridlib.make_geometry(self.box_local, cutoff, dim,
-                                          skin=skin, cap=cap,
-                                          avg_per_cell=avg_per_cell)
-        if use_pallas:
-            # fused Pallas kernels per brick (the sweeps run on each
+        if strip_geom is not None:
+            # strip kernel per brick (r2 VERDICT #3: decomposition must not
+            # change the per-rank compute path): slot-resident z-sorted
+            # columns inside each brick's local box, per-step comm patched
+            # through the row markers + seam recopy
+            from tpusph.ops.strip_pair import StripBackend
+            self.mode = "strip"
+            self.strip_geom = strip_geom
+            self.inner = StripBackend(strip_geom, self.box_local,
+                                      ntypes=ntypes)
+            self.geom = None
+            self.force_stage = self._strip_force_stage  # instance attr: the
+            # Runner dispatches on hasattr(backend, "force_stage")
+        elif use_pallas:
+            # fused Pallas column kernels per brick (the sweeps run on each
             # device's block inside shard_map)
             from tpusph.ops.pallas_pair import PallasBackend
+            self.mode = "pallas"
+            self.geom = gridlib.make_geometry(self.box_local, cutoff, dim,
+                                              skin=skin, cap=cap,
+                                              avg_per_cell=avg_per_cell)
             self.inner = PallasBackend(self.geom, self.box_local,
                                        ntypes=ntypes)
         else:
+            self.mode = "cellgrid"
+            self.geom = gridlib.make_geometry(self.box_local, cutoff, dim,
+                                              skin=skin, cap=cap,
+                                              avg_per_cell=avg_per_cell)
             self.inner = CellGridBackend(self.geom)
         self.rebuild_every = rebuild_every
 
@@ -283,7 +348,18 @@ class DistBackend:
         for k in range(self.spec.naxes):
             field = one_side(2 * k, -1, k, field)
             field = one_side(2 * k + 1, +1, k, field)
-        return field
+        return self._seam_recopy(field, aux)
+
+    def _seam_recopy(self, field, aux: DistAux, shift_axis: int | None = None):
+        """Re-copy the strip seam bands from their (just-refreshed) source
+        rows — no-op for non-strip inners (size-0 map). ``shift_axis``: apply
+        the column-axis position shift (x only)."""
+        if aux.seam_src.shape[0] == 0:
+            return field
+        g = field[aux.seam_src]
+        if shift_axis is not None and field.ndim == 2:
+            g = g.at[:, shift_axis].add(aux.seam_shift)
+        return field.at[aux.seam_dest].set(g, mode="drop")
 
     def rho_summation(self, state, tables, spec, box, aux: DistAux, **_):
         rho = self.inner.rho_summation(state, tables, spec, self.box_local,
@@ -304,13 +380,27 @@ class DistBackend:
         return self.inner.vapor_neighbor(state, self.box_local, vtype, cut,
                                          aux)
 
+    def _strip_force_stage(self, state, tables, spec, box, aux: DistAux,
+                           istep):
+        """Strip inner: ONE pack + three kernels per brick, with the
+        mid-force owner->ghost halo refresh (and seam recopy) injected
+        between the sweeps — Pair::pack_forward_comm parity at full kernel
+        speed. Bound to ``self.force_stage`` only in strip mode."""
+        return self.inner.force_stage(
+            state, tables, spec, self.box_local, aux.grid, istep,
+            halo=lambda field: self._halo_refresh(field, aux))
+
     # -- comm stack ----------------------------------------------------------
 
     def init_aux(self, state: ParticleState, box: Box):
         return self._rebuild(state)
 
     def prepare(self, state: ParticleState, aux: DistAux, istep, box: Box):
-        trigger = gridlib.needs_rebuild(state, aux.grid, self.geom)
+        if self.mode == "strip":
+            from tpusph.ops.band_pair import needs_rebuild as _nr
+            trigger = _nr(state, aux.grid, self._skin)
+        else:
+            trigger = gridlib.needs_rebuild(state, aux.grid, self.geom)
         if self.rebuild_every > 0:
             trigger = trigger | (jnp.asarray(istep) % self.rebuild_every == 0)
         trigger = jax.lax.psum(trigger.astype(jnp.int32), AXIS) > 0
@@ -352,6 +442,12 @@ class DistBackend:
         for k in range(self.spec.naxes):
             state = one_side(2 * k, -1, k, state)
             state = one_side(2 * k + 1, +1, k, state)
+        if aux.seam_src.shape[0] > 0:
+            ca = self.strip_geom.col_axis
+            upd = {f: self._seam_recopy(getattr(state, f), aux,
+                                        shift_axis=ca if f == "x" else None)
+                   for f in _FWD_FIELDS}
+            state = dataclasses.replace(state, **upd)
         return state, aux
 
     def _rebuild(self, state: ParticleState, prev_overflow=None,
@@ -481,11 +577,19 @@ class DistBackend:
             ghost_slots.append(jnp.where(in_side, act_rank - lo_bound, -1))
             lo_bound = hi_bound
 
-        # ---- sort into the local cell grid, carrying the markers ----
+        # ---- sort into the local cell grid / strips, carrying markers ----
         extra = dict(send=jnp.stack(send_slots), ghost=jnp.stack(ghost_slots))
         extra = jax.tree_util.tree_map(lambda a: a.T, extra)  # (n, S) for sort
-        state, grid_data, extra = gridlib.build(state, self.geom, extra=extra,
-                                                nbuilds=nbuilds)
+        if self.mode == "strip":
+            from tpusph.ops.strip_pair import build_strips
+            state, grid_data, extra, seam = build_strips(
+                state, self.strip_geom, self.box_local, nbuilds=nbuilds,
+                extra=extra, keep_ghosts=True, return_seam=True)
+        else:
+            state, grid_data, extra = gridlib.build(
+                state, self.geom, extra=extra, nbuilds=nbuilds)
+            z32 = jnp.zeros(0, jnp.int32)
+            seam = (z32, z32, jnp.zeros(0, jnp.float32))
         extra = jax.tree_util.tree_map(lambda a: a.T, extra)  # back to (S, n)
 
         def rows_from_slots(slots):
@@ -507,6 +611,7 @@ class DistBackend:
             # cell beyond cap silently drops pairs — must surface, CLAUDE.md
             # invariant), plus any overflow carried from earlier rebuilds
             overflow=overflow + grid_data.overflow,
+            seam_src=seam[0], seam_dest=seam[1], seam_shift=seam[2],
         )
         return state, aux
 
@@ -520,6 +625,70 @@ class DistBackend:
 # --------------------------------------------------------------------------
 # Host-side setup
 # --------------------------------------------------------------------------
+
+def choose_strip_geometry_dist(box_global: Box, spec: BrickSpec, dim: int,
+                               cutoff: float, skin: float, x: np.ndarray,
+                               headroom: float = 1.15):
+    """Strip geometry shared by EVERY brick (one compiled program): choose
+    per brick view (owned + margin ghosts, brick-local frame) and merge to
+    the worst case. Returns (geom, local_cap) or (None, None) when any
+    brick can't strip. local_cap == geom.n_slots, bumped until the pool
+    also holds the ghost/migration merge buffers (choose_local_cap)."""
+    from tpusph.ops.strip_pair import choose_strip_geometry
+    blocal = local_box(spec, box_global)
+    views = [v for v in brick_local_positions(x, spec, box_global)
+             if len(v) > 0]
+    if not views:
+        return None, None
+    # pass 1: the fullest brick picks the (ts, ch) tile config; pass 2:
+    # every brick re-measures its margins AT that config (margins do not
+    # transfer between tile sizes), and the worst case is merged — one
+    # compiled program must cover every brick.
+    lead = max(views, key=len)
+    g0 = choose_strip_geometry(blocal, cutoff, dim, skin, x=lead,
+                               headroom=headroom)
+    if g0 is None:
+        return None, None
+    cand = ((g0.ts, g0.ch),)
+    pnc = (g0.ncx, g0.ncy) if dim == 3 else (g0.ncx,)
+    geoms = []
+    for v in views:
+        g = choose_strip_geometry(blocal, cutoff, dim, skin, x=v,
+                                  headroom=headroom, candidates=cand,
+                                  plane_nc=pnc)
+        if g is None:
+            return None, None
+        geoms.append(g)
+    ts, ch = g0.ts, g0.ch
+    head = max(g.head for g in geoms)
+    tail = max(g.tail for g in geoms)
+    budget = max(g.col_cap - g.head - g.tail for g in geoms)
+    mlo = max(g.mlo for g in geoms)
+    mhi = max(g.mhi for g in geoms)
+    if ch * (mlo + (ts // ch) + mhi) > 640:
+        return None, None
+    col_cap = -(-(head + budget + tail) // ts) * ts
+    geom = g0._replace(head=head, tail=tail, col_cap=col_cap,
+                       mlo=mlo, mhi=mhi)
+
+    # pool must also absorb the pre-sort ghost/migrant merges: owned peak
+    # plus the fixed side buffers (choose_local_cap), padded via col_cap
+    owner = np.zeros(len(x), np.int64)
+    for k, ax in enumerate(spec.axes):
+        rel = np.asarray(x, np.float64)[:, ax] - spec.lo[k]
+        if spec.cuts is None:
+            c = np.clip((rel / spec.width[k]).astype(int), 0,
+                        spec.shape[k] - 1)
+        else:
+            c = np.clip(np.searchsorted(spec.cuts[k], rel, side="right") - 1,
+                        0, spec.shape[k] - 1)
+        owner = owner * spec.shape[k] + c
+    counts_max = int(np.bincount(owner, minlength=spec.ndev).max())
+    required = choose_local_cap(spec, counts_max)
+    while geom.n_slots < required:
+        geom = geom._replace(col_cap=geom.col_cap + geom.ts)
+    return geom, geom.n_slots
+
 
 def choose_brick_shape(box: Box, ndev: int, margin: float, dim: int,
                        axis_dim: int = 0) -> Tuple[Tuple[int, ...],
@@ -611,9 +780,17 @@ def make_brick_spec(box: Box, ndev: int, cutoff: float, skin: float,
                       else float(np.max(np.diff(cuts[k]))))
     if ghost_cap is None:
         per_brick = max(n_particles // ndev, 1)
-        frac = max(min(margin / w, 1.0) for w in widths)
-        # later axes' slabs include earlier axes' ghosts -> extra headroom
-        ghost_cap = int(math.ceil(per_brick * frac * 3.5 / 8.0) * 8) + 16
+        # staged borders: axis k's edge slab includes ALL earlier axes'
+        # ghosts, so its volume ratio is frac_k * prod_{j<k}(1 + 2 frac_j)
+        # (the r2 flat 3.5x heuristic under-sized 3-axis procgrids)
+        fracs = [min(margin / w, 1.0) for w in widths]
+        ratio = 0.0
+        for k, fk in enumerate(fracs):
+            r = fk
+            for fj in fracs[:k]:
+                r *= (1.0 + 2.0 * fj)
+            ratio = max(ratio, r)
+        ghost_cap = int(math.ceil(per_brick * ratio * 2.0 / 8.0) * 8) + 32
     if migrate_cap is None:
         migrate_cap = max(int(ghost_cap), 16)
     return BrickSpec(ndev=ndev, axes=tuple(int(a) for a in axes),
@@ -724,6 +901,7 @@ def partition_state(staged: dict, spec: BrickSpec, mesh: Mesh,
         tag=jnp.asarray(glob["tag"], jnp.int32),
         mobile=jnp.asarray(glob["mobile"], bool),
         owned=jnp.asarray(glob["type"] > 0),
+        vir=jnp.zeros(n_tot, jnp.float32),
         rho_c=jnp.zeros(n_tot, jnp.float32),
         e_c=jnp.zeros(n_tot, jnp.float32),
     )

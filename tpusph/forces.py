@@ -46,7 +46,12 @@ def compute_forces(state: ParticleState, tables: PairTables, spec: PhysicsSpec,
     if spec.surface_tension:
         cg = backend.color_gradient(state, tables, spec, box, **kw)
 
-    f, drho, de = backend.force(state, tables, spec, box, cg=cg, **kw)
+    out = backend.force(state, tables, spec, box, cg=cg, **kw)
+    if spec.virial:
+        f, drho, de, vir = out
+        state = dataclasses.replace(state, vir=vir)
+    else:
+        f, drho, de = out
 
     if spec.gravity:
         # fix gravity: constant body acceleration on mobile alive particles

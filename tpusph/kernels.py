@@ -63,17 +63,28 @@ def _lucy_sigma(cut, dim):
 
 
 def lucy_w(r, cut, dim):
-    q = _safe_q(r, cut)
-    s = _lucy_sigma(cut, dim)
-    omq = 1.0 - q
+    # ONE reciprocal, powers by multiplication: divides are the slow VPU op
+    # in the pair kernels (a / b costs several x a * b) and `cut` is often
+    # a broadcast scalar the compiler cannot safely strength-reduce.
+    # 1-q is computed as (cut-r)*icut: the subtraction is exact for
+    # r in [cut/2, cut] (Sterbenz), avoiding the 1 - r/cut cancellation
+    # that dominates wfd error near the support edge.
+    icut = 1.0 / cut
+    q = jnp.clip(r * icut, 0.0, 1.0)
+    icut2 = icut * icut
+    s = (105.0 / (16.0 * math.pi)) * icut2 * icut if dim == 3 \
+        else (5.0 / math.pi) * icut2
+    omq = jnp.clip((cut - r) * icut, 0.0, 1.0)
     return jnp.where(r < cut, s * (1.0 + 3.0 * q) * omq * omq * omq, 0.0)
 
 
 def lucy_wfd(r, cut, dim):
-    q = _safe_q(r, cut)
-    s = _lucy_sigma(cut, dim)
-    omq = 1.0 - q
-    return jnp.where(r < cut, -12.0 * s * omq * omq / (cut * cut), 0.0)
+    icut = 1.0 / cut
+    icut2 = icut * icut
+    s5 = (105.0 / (16.0 * math.pi)) * icut2 * icut2 * icut if dim == 3 \
+        else (5.0 / math.pi) * icut2 * icut2
+    omq = jnp.clip((cut - r) * icut, 0.0, 1.0)
+    return jnp.where(r < cut, -12.0 * s5 * omq * omq, 0.0)
 
 
 # ---------------------------------------------------------------------------
@@ -175,18 +186,23 @@ def _wendland_sigma(cut, dim):
 
 
 def wendland_w(r, cut, dim):
-    q = _safe_q(r, cut)
-    s = _wendland_sigma(cut, dim)
-    omq = 1.0 - q
+    icut = 1.0 / cut
+    q = jnp.clip(r * icut, 0.0, 1.0)
+    icut2 = icut * icut
+    s = (21.0 / (2.0 * math.pi)) * icut2 * icut if dim == 3 \
+        else (7.0 / math.pi) * icut2
+    omq = jnp.clip((cut - r) * icut, 0.0, 1.0)
     omq2 = omq * omq
     return jnp.where(r < cut, s * omq2 * omq2 * (4.0 * q + 1.0), 0.0)
 
 
 def wendland_wfd(r, cut, dim):
-    q = _safe_q(r, cut)
-    s = _wendland_sigma(cut, dim)
-    omq = 1.0 - q
-    return jnp.where(r < cut, -20.0 * s * omq * omq * omq / (cut * cut), 0.0)
+    icut = 1.0 / cut
+    icut2 = icut * icut
+    s5 = (21.0 / (2.0 * math.pi)) * icut2 * icut2 * icut if dim == 3 \
+        else (7.0 / math.pi) * icut2 * icut2
+    omq = jnp.clip((cut - r) * icut, 0.0, 1.0)
+    return jnp.where(r < cut, -20.0 * s5 * omq * omq * omq, 0.0)
 
 
 _W_FNS = {LUCY: lucy_w, CUBIC_SPLINE: cubic_w, QUINTIC_SPLINE: quintic_w, WENDLAND_C2: wendland_w}

@@ -94,6 +94,41 @@ class Cylinder(Region):
 
 
 @dataclasses.dataclass
+class Prism(Region):
+    """Tilted parallelepiped (LAMMPS region prism — src/region_prism.cpp,
+    SURVEY §2.4): edge vectors a=(xhi-xlo,0,0), b=(xy,yhi-ylo,0),
+    c=(xz,yz,zhi-zlo); a point is inside iff its fractional coordinates
+    along (a,b,c) all lie in [0,1]."""
+    lo: Sequence[float] = (0.0, 0.0, 0.0)
+    hi: Sequence[float] = (1.0, 1.0, 1.0)
+    xy: float = 0.0
+    xz: float = 0.0
+    yz: float = 0.0
+
+    def inside(self, x):
+        lo = np.asarray(self.lo, float)
+        hi = np.asarray(self.hi, float)
+        edge = np.maximum(hi - lo, 1e-300)
+        # back-substitute the triangular edge matrix: c first, then b, a
+        sz = (x[..., 2] - lo[2]) / edge[2]
+        sy = (x[..., 1] - lo[1] - self.yz * sz) / edge[1]
+        sx = (x[..., 0] - lo[0] - self.xy * sy - self.xz * sz) / edge[0]
+        ok = np.ones(x.shape[:-1], bool)
+        for s in (sx, sy, sz):
+            ok &= (s >= -_EPS) & (s <= 1.0 + _EPS)
+        return ok
+
+    def bbox(self):
+        lo = np.asarray(self.lo, float).copy()
+        hi = np.asarray(self.hi, float).copy()
+        lo[0] += min(0.0, self.xy) + min(0.0, self.xz)
+        hi[0] += max(0.0, self.xy) + max(0.0, self.xz)
+        lo[1] += min(0.0, self.yz)
+        hi[1] += max(0.0, self.yz)
+        return lo, hi
+
+
+@dataclasses.dataclass
 class Union(Region):
     regions: Sequence[Region] = ()
 

@@ -316,7 +316,7 @@ def _field_list(fields: dict):
             fields["v0"], fields["v1"], fields["v2"],
             fields["rho"], fields["e"], fields["m"], fields["type_f"],
             fields.get("cg0", z), fields.get("cg1", z), fields.get("cg2", z),
-            fields["cv"], fields.get("mix", z)]
+            fields["cv"], fields.get("mix", z), fields.get("slot", z)]
     cols += [z] * (F_ROWS - len(cols))
     return cols
 
@@ -444,7 +444,7 @@ def make_band_kernel(geom: BandGeometry, spec: PhysicsSpec, ntypes: int,
     W = geom.w_pad
     T1 = ntypes + 1
     offs = _neighbor_offsets(geom)
-    n_out = tile_physics.SWEEP_N_OUT[sweep]
+    n_out = tile_physics.sweep_n_out(sweep, spec)
 
     def kernel(scal_ref, tabs_ref, i_ref, *refs):
         out_ref = refs[-1]
@@ -467,6 +467,8 @@ def make_band_kernel(geom: BandGeometry, spec: PhysicsSpec, ntypes: int,
 
             out_rows = {"rho": (ORHO,), "cgrad": (OCGX, OCGY, ODE),
                         "force": (OFX, OFY, OFZ, ODRHO, ODE)}[sweep]
+            if sweep == "force" and spec.virial:
+                out_rows = out_rows + (ORHO,)   # OVIR: rho row free here
             for row, acc in zip(out_rows, accs):
                 out_ref[0, 0, :, row] = acc
 
@@ -614,7 +616,11 @@ class BandBackend:
     # -- the fused force stage ------------------------------------------------
 
     def force_stage(self, state: ParticleState, tables: PairTables,
-                    spec: PhysicsSpec, box: Box, aux, istep):
+                    spec: PhysicsSpec, box: Box, aux, istep, halo=None):
+        """``halo``: optional field -> field callable applied to freshly
+        computed rho / color gradients before they re-enter the packed
+        arrays — the dist mode's mid-force owner->ghost refresh
+        (Pair::pack_forward_comm analog, SURVEY §2.5)."""
         geom = self.geom
         n = geom.n_slots
         alive = state.alive
@@ -654,26 +660,35 @@ class BandBackend:
                 total = total * state.rmass
             recompute = (jnp.asarray(istep) % spec.rhosum_every) == 0
             rho = jnp.where(recompute & alive, total, rho)
+            if halo is not None:
+                rho = halo(rho)
             fields["rho"] = rho
             i_arr, band = self._update_rows(i_arr, band, fields, (RRHO,))
 
         if spec.surface_tension:
             out = run("cgrad")
-            fields["cg0"] = jnp.where(alive, out[:, OCGX], 0.0)
-            fields["cg1"] = jnp.where(alive, out[:, OCGY], 0.0)
-            fields["cg2"] = jnp.where(alive, out[:, ODE], 0.0)
+            cg0 = jnp.where(alive, out[:, OCGX], 0.0)
+            cg1 = jnp.where(alive, out[:, OCGY], 0.0)
+            cg2 = jnp.where(alive, out[:, ODE], 0.0)
+            if halo is not None:
+                cgs = halo(jnp.stack([cg0, cg1, cg2], axis=1))
+                cg0, cg1, cg2 = cgs[:, 0], cgs[:, 1], cgs[:, 2]
+            fields["cg0"], fields["cg1"], fields["cg2"] = cg0, cg1, cg2
             i_arr, band = self._update_rows(i_arr, band, fields,
                                             (RCGX, RCGY, RCGZ))
 
         out = run("force")
         f = jnp.stack([out[:, OFX], out[:, OFY], out[:, OFZ]], axis=1)
-        state = dataclasses.replace(
-            state,
+        upd = dict(
             rho=rho,
             f=jnp.where(alive[:, None], f, 0.0),
             drho=jnp.where(alive, out[:, ODRHO], 0.0),
             de=jnp.where(alive, out[:, ODE], 0.0),
         )
+        if spec.virial:
+            from tpusph.ops.pallas_pair import OVIR
+            upd["vir"] = jnp.where(alive, out[:, OVIR], 0.0)
+        state = dataclasses.replace(state, **upd)
         if spec.gravity:
             gmask = (state.alive & state.mobile)[:, None]
             state = dataclasses.replace(

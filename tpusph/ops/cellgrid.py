@@ -227,11 +227,14 @@ class CellGridBackend:
                 tables, state.type[i_rows][:, None],
                 state.type[j_rows][None, :], spec)
             out = pair_terms.force_pair(pi, pj, dx, rsq, pair_ok, coefs, spec, **kw)
-            return (jnp.sum(out["f"], axis=1), jnp.sum(out["drho"], axis=1),
+            outs = (jnp.sum(out["f"], axis=1), jnp.sum(out["drho"], axis=1),
                     jnp.sum(out["de"], axis=1))
+            if spec.virial:
+                outs = outs + (jnp.sum(out["vir"], axis=1),)
+            return outs
 
-        (f, drho, de), ok = self._sweep(state, aux, box, cell_fn, 0.0)
-        return f, drho, de
+        outs, ok = self._sweep(state, aux, box, cell_fn, 0.0)
+        return outs
 
 
 def _fields(state: ParticleState):

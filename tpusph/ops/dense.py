@@ -135,8 +135,11 @@ def force(state: ParticleState, tables: PairTables, spec: PhysicsSpec, box: Box,
 
     out = _rowwise(fn, state, box, extra=extra)
     alive = state.alive
-    return (
+    outs = (
         jnp.where(alive[:, None], out["f"], 0.0),
         jnp.where(alive, out["drho"], 0.0),
         jnp.where(alive, out["de"], 0.0),
     )
+    if spec.virial:
+        outs = outs + (jnp.where(alive, out["vir"], 0.0),)
+    return outs

@@ -212,7 +212,6 @@ def force_pair(pi, pj, dx, rsq, mask, coefs, spec: PhysicsSpec,
         else:
             # Monaghan artificial viscosity for approaching pairs.
             h_ij = jnp.maximum(cut_ij, 1e-30)
-            mu = h_ij * dvdr / (rsq + 0.01 * h_ij * h_ij)
             ci = coefs["c0_i"]
             cj = coefs["c0_j"]
             if spec.lj:
@@ -224,9 +223,12 @@ def force_pair(pi, pj, dx, rsq, mask, coefs, spec: PhysicsSpec,
                 gi, gj = coefs["gas_gamma_i"], coefs["gas_gamma_j"]
                 ci = jnp.sqrt(jnp.maximum(gi * (gi - 1.0) * pi["e"] / m_i, 0.0))
                 cj = jnp.sqrt(jnp.maximum(gj * (gj - 1.0) * pj["e"] / m_j, 0.0))
+            # mu = h dvdr/(rsq + 0.01 h^2) and the Monaghan prefactor
+            # fused into ONE divide (kernel mirrors match this form)
             fvisc = jnp.where(
                 dvdr < 0.0,
-                -coefs["visc"] * (ci + cj) * mu / (rho_i + rho_j),
+                -coefs["visc"] * (ci + cj) * h_ij * dvdr
+                / ((rsq + 0.01 * h_ij * h_ij) * (rho_i + rho_j)),
                 0.0,
             )
             fpair = jnp.where(live, -m_i * m_j * (fi + fj + fvisc) * wfd, 0.0)
@@ -273,4 +275,10 @@ def force_pair(pi, pj, dx, rsq, mask, coefs, spec: PhysicsSpec,
         pj_dx = _capillary_stress_dot_dx(cg_j, dx, spec.dim) / (rho_j * rho_j)[..., None]
         f = f + jnp.where(live, m_i * m_j * wfd, 0.0)[..., None] * (pi_dx + pj_dx)
 
-    return dict(f=f, drho=drho, de=de)
+    out = dict(f=f, drho=drho, de=de)
+    if spec.virial:
+        # pair virial contribution to i: f_ij . r_ij over every term that
+        # produced force (pressure/viscosity along dx AND dv, capillary
+        # stress) — thermo pressure P = (sum m v^2 + 0.5 sum_i vir_i)/(dim V)
+        out["vir"] = jnp.sum(f * dx, axis=-1)
+    return out

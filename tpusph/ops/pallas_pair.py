@@ -50,8 +50,12 @@ F_ROWS = 16
 RX, RY, RZ, RVX, RVY, RVZ, RRHO, RE, RM, RTYPE, RCGX, RCGY, RCGZ = range(13)
 RCV = 13  # per-particle heat capacity (heatconduction/phasechange pinning)
 RMIX = 14  # per-tile mixed-phase flag (strip cgrad sweep skip)
+RSLOT = 15  # j-slot index as f32 (strip vapor-neighbor sweep: the argmin
+#             target row; exact for pools < 2^24 slots)
 # output rows (8)
 OFX, OFY, OFZ, ODRHO, ODE, ORHO, OCGX, OCGY = range(8)
+OVIR = ORHO  # force sweep only: the rho row is free there; reused for the
+#              per-particle pair virial when spec.virial
 
 
 class ColumnGrid(NamedTuple):
@@ -232,6 +236,8 @@ def make_column_kernel(cg: ColumnGrid, spec: PhysicsSpec, ntypes: int,
     wfd_fn = kernels.kernel_wfd(spec.kernel, spec.dim)
 
     n_out = {"rho": 1, "cgrad": 3, "force": 5}[sweep]
+    if sweep == "force" and spec.virial:
+        n_out += 1
 
     _ORDER = list(_TABLES_2D) + list(_TABLES_1D)
 
@@ -378,7 +384,6 @@ def make_column_kernel(cg: ColumnGrid, spec: PhysicsSpec, ntypes: int,
                         live, -0.5 * (fpair * dvdr + fvisc * dvsq), 0.0)
                 else:
                     h_ij = jnp.maximum(cut, 1e-30)
-                    mu = h_ij * dvdr / (rsq + 0.01 * h_ij * h_ij)
                     ci = ci_1d["c0"]
                     cj = cj_1d("c0")
                     if spec.lj:
@@ -394,9 +399,11 @@ def make_column_kernel(cg: ColumnGrid, spec: PhysicsSpec, ntypes: int,
                             gi * (gi - 1.0) * irow(RE) / mi, 0.0))
                         cj = jnp.sqrt(jnp.maximum(
                             gj * (gj - 1.0) * jrow(RE) / mj, 0.0))
+                    # mu + Monaghan prefactor fused into ONE divide
                     fvisc = jnp.where(
                         dvdr < 0.0,
-                        -c2d("visc") * (ci + cj) * mu / (rho_i + rho_j),
+                        -c2d("visc") * (ci + cj) * h_ij * dvdr
+                        / ((rsq + 0.01 * h_ij * h_ij) * (rho_i + rho_j)),
                         0.0)
                     fpair = jnp.where(
                         live, -mi * mj * (fi + fj + fvisc) * wfd, 0.0)
@@ -443,9 +450,14 @@ def make_column_kernel(cg: ColumnGrid, spec: PhysicsSpec, ntypes: int,
                 f1 = f1 + coef * (si[1] + sj[1])
                 f2 = f2 + coef * (si[2] + sj[2])
 
-            return (jnp.sum(f0, axis=1), jnp.sum(f1, axis=1),
+            outs = (jnp.sum(f0, axis=1), jnp.sum(f1, axis=1),
                     jnp.sum(f2, axis=1), jnp.sum(drho, axis=1),
                     jnp.sum(de, axis=1))
+            if spec.virial:
+                # pair virial sum_j f_ij . r_ij over the accumulated tiles
+                outs = outs + (jnp.sum(f0 * dx0 + f1 * dx1 + f2 * dx2,
+                                       axis=1),)
+            return outs
 
         def per_cell(cz, _):
             i_tile = center[0, cz]                        # (F, cap)
@@ -491,6 +503,8 @@ def make_column_kernel(cg: ColumnGrid, spec: PhysicsSpec, ntypes: int,
 
             out_rows = {"rho": (ORHO,), "cgrad": (OCGX, OCGY, ODE),
                         "force": (OFX, OFY, OFZ, ODRHO, ODE)}[sweep]
+            if sweep == "force" and spec.virial:
+                out_rows = out_rows + (OVIR,)   # rho row free in force sweep
             for row, acc in zip(out_rows, accs):
                 out_ref[0, cz, row] = acc
 
@@ -636,14 +650,20 @@ class PallasBackend:
     def force(self, state, tables, spec, box, aux, cg=None, **_):
         if spec.surface_tension and cg is None:
             cg = self.color_gradient(state, tables, spec, box, aux)
-        fx, fy, fz, drho, de = self._sweep(
-            state, tables, spec, box, aux, "force", cgrad=cg,
-            rows=(OFX, OFY, OFZ, ODRHO, ODE))
+        rows = (OFX, OFY, OFZ, ODRHO, ODE)
+        if spec.virial:
+            rows = rows + (OVIR,)
+        out = self._sweep(state, tables, spec, box, aux, "force", cgrad=cg,
+                          rows=rows)
+        fx, fy, fz, drho, de = out[:5]
         f = jnp.stack([fx, fy, fz], axis=1)
         alive = state.alive
-        return (jnp.where(alive[:, None], f, 0.0),
+        outs = (jnp.where(alive[:, None], f, 0.0),
                 jnp.where(alive, drho, 0.0),
                 jnp.where(alive, de, 0.0))
+        if spec.virial:
+            outs = outs + (jnp.where(alive, out[5], 0.0),)
+        return outs
 
     def vapor_neighbor(self, state, box, vtype, cut, aux):
         return self._cells.vapor_neighbor(state, box, vtype, cut, aux)
@@ -704,17 +724,22 @@ class PallasBackend:
             dense = dense.at[:, :, RCGZ, :].set(out[:, :, ODE, :])
 
         out = run("force", dense)
-        fx, fy, fz, drho, de = unpack_dense(out, flat_pos, ok,
-                                            (OFX, OFY, OFZ, ODRHO, ODE))
+        rows = (OFX, OFY, OFZ, ODRHO, ODE)
+        if spec.virial:
+            rows = rows + (OVIR,)
+        unpacked = unpack_dense(out, flat_pos, ok, rows)
+        fx, fy, fz, drho, de = unpacked[:5]
         f = jnp.stack([fx, fy, fz], axis=1)
         alive = state.alive
-        state = dataclasses.replace(
-            state,
+        upd = dict(
             rho=rho_state,
             f=jnp.where(alive[:, None], f, 0.0),
             drho=jnp.where(alive, drho, 0.0),
             de=jnp.where(alive, de, 0.0),
         )
+        if spec.virial:
+            upd["vir"] = jnp.where(alive, unpacked[5], 0.0)
+        state = dataclasses.replace(state, **upd)
         if spec.gravity:
             gmask = (state.alive & state.mobile)[:, None]
             state = dataclasses.replace(

@@ -261,6 +261,7 @@ def _apply_phase_change(state: ParticleState, tables: PairTables, istep,
         drho=put(state.drho, jnp.zeros(n)),
         e=put(state.e, carried_per_mass * dm),
         de=put(state.de, jnp.zeros(n)),
+        vir=put(state.vir, jnp.zeros(n)),
         cv=put(state.cv, jnp.full((n,), config.vapor_cv * dm)),
         rmass=put(state.rmass, jnp.full((n,), dm)),
         type=put(state.type, jnp.full((n,), config.vapor_type, jnp.int32)),

@@ -61,25 +61,32 @@ from tpusph.ops.band_pair import (
     _field_list, needs_rebuild,
 )
 from tpusph.ops.pallas_pair import (
-    F_ROWS, RTYPE, RMIX, OFX, OFY, OFZ, ODRHO, ODE, ORHO, OCGX, OCGY,
+    F_ROWS, RX, RY, RZ, RTYPE, RMIX, RSLOT,
+    OFX, OFY, OFZ, ODRHO, ODE, ORHO, OCGX, OCGY,
 )
 from tpusph.params import PhysicsSpec
 from tpusph.state import Box, ParticleState
 
-TS = 64       # i-tile rows (one z-slab of a column)
-CH = 32       # window chunk rows (window offsets are CH-aligned)
+TS = 64       # default i-tile rows (one z-slab of a column)
+CH = 32       # default window chunk rows (window offsets are ch-aligned)
 
 
 class StripGeometry(NamedTuple):
     """Static strip-kernel geometry (hashable, part of the jit cache key).
     Duck-types the BandGeometry fields _band_index_map/_plane_shift use
-    (ncx, ncy, dim, periodic, lengths, ncols)."""
+    (ncx, ncy, dim, periodic, lengths, ncols).
+
+    ts/ch are chosen PER SYSTEM by choose_strip_geometry: issued window
+    lanes quantize to 128 (vreg width), so smaller tiles with tight chunk
+    margins can halve the per-particle lane cost (W 256 -> 128) whenever
+    the measured rank margins fit — the r3 lane-cut lever
+    (PERFORMANCE.md headroom #3)."""
     ncx: int
     ncy: int            # 1 in 2D
-    col_cap: int        # slots per column, multiple of TS
-    head: int           # reserved head rows (top-seam ghost band), CH-mult
-    tail: int           # tail ghost budget rows (bottom-seam band), CH-mult
-    mlo: int            # margin chunks (CH rows) below an i-tile's window
+    col_cap: int        # slots per column, multiple of ts
+    head: int           # reserved head rows (top-seam ghost band), ch-mult
+    tail: int           # tail ghost budget rows (bottom-seam band), ch-mult
+    mlo: int            # margin chunks (ch rows) below an i-tile's window
     mhi: int            # margin chunks above
     dim: int
     periodic: tuple     # box periodicity (3,)
@@ -88,6 +95,8 @@ class StripGeometry(NamedTuple):
     cell_xy: tuple      # column side along the plane axes
     margin_dist: float  # cutoff + skin the margins must cover
     skin: float
+    ts: int = TS        # i-tile rows (sublane dim; multiple of 8)
+    ch: int = CH        # window chunk rows (ch divides ts)
 
     @property
     def ncols(self) -> int:
@@ -99,11 +108,17 @@ class StripGeometry(NamedTuple):
 
     @property
     def ntiles(self) -> int:
-        return self.col_cap // TS
+        return self.col_cap // self.ts
 
     @property
     def n32(self) -> int:
-        return self.col_cap // CH
+        """Chunks per column (historic name; chunk = ch rows)."""
+        return self.col_cap // self.ch
+
+    @property
+    def stride(self) -> int:
+        """Window chunks per tile (ts // ch)."""
+        return self.ts // self.ch
 
     @property
     def n_slots(self) -> int:
@@ -111,7 +126,7 @@ class StripGeometry(NamedTuple):
 
     @property
     def w(self) -> int:
-        return CH * (self.mlo + (TS // CH) + self.mhi)
+        return self.ch * (self.mlo + self.stride + self.mhi)
 
     @property
     def nnbr(self) -> int:
@@ -127,9 +142,15 @@ class StripGeometry(NamedTuple):
         return 2.0 * self.margin_dist
 
 
+DEFAULT_TS_CH = ((64, 32), (64, 16), (64, 8), (48, 16), (48, 8),
+                 (32, 16), (32, 8), (16, 16), (16, 8))
+
+
 def choose_strip_geometry(box: Box, cutoff: float, dim: int, skin: float,
                           x: np.ndarray | None = None,
-                          headroom: float = 1.08) -> StripGeometry | None:
+                          headroom: float = 1.08,
+                          candidates=DEFAULT_TS_CH,
+                          plane_nc=None) -> StripGeometry | None:
     """Host-side geometry choice from the MEASURED particle distribution:
     column capacity from per-column counts (+ seam-ghost bands), window
     margins from the exact per-particle rank distance to the farthest
@@ -152,113 +173,204 @@ def choose_strip_geometry(box: Box, cutoff: float, dim: int, skin: float,
     lz = float(length[col_axis])
     col_per = bool(box.periodic[col_axis])
     depth = 2.0 * side
-    if col_per and lz < 2.0 * depth:
-        return None  # ghost bands would overlap across the column
+    if col_per and lz < 2.0 * depth * (1.0 - 1e-6):
+        # ghost bands would overlap across the column (the equality case is
+        # fine — bands adjacent; the epsilon absorbs f32 cutoff rounding)
+        return None
 
     x = np.asarray(x, np.float64)
-    cols = None
-    for a in plane_axes:
-        cc = np.clip(((x[:, a] - lo[a]) / (length[a] / nc[a])).astype(np.int64),
-                     0, nc[a] - 1)
-        cols = cc if cols is None else cols * nc[a] + cc
-    z = np.clip(x[:, col_axis] - lo[col_axis], 0.0, lz * (1 - 1e-9))
-
-    counts = np.bincount(cols, minlength=ncols)
-    nb2 = nt2 = 0
-    if col_per:
-        # seam-ghost band sizes: particles within `depth` of each face
-        nb2 = int(np.bincount(cols[z < depth], minlength=ncols).max())
-        nt2 = int(np.bincount(cols[z > lz - depth], minlength=ncols).max())
-    head = int(math.ceil((nt2 * headroom + 4) / CH)) * CH if col_per else 0
-    tail = int(math.ceil((nb2 * headroom + 4) / CH)) * CH if col_per else 0
-    col_cap = int(math.ceil(
-        (head + counts.max() * headroom + tail + CH) / TS)) * TS
-
-    # ---- exact CROSS-COLUMN rank margins --------------------------------
-    # A rank window indexed by i's tile must cover [z_i - side, z_i + side]
-    # in every NEIGHBOR column's slot space, whose z->slot map differs from
-    # the home column's wherever densities differ. Measure the exact need
-    # on the actual distribution: build the slot-space layout (ghost bands
-    # included) and searchsorted every (i, neighbor-column) pair, i
-    # subsampled every SUB rows (bounds the miss to SUB rows, absorbed by
-    # the +1 safety chunk).
-    order = np.lexsort((z, cols))
-    kc, kz = cols[order], z[order]
-    starts_r = np.concatenate([[0], np.cumsum(counts)])
-    rank_r = np.arange(len(kz)) - starts_r[kc]
-    slot_r = head + rank_r
-    ext_col = [kc]
-    ext_z = [kz]
-    ext_slot = [slot_r]
-    if col_per:
-        bot = kz < depth
-        ext_col.append(kc[bot])
-        ext_z.append(kz[bot] + lz)
-        ext_slot.append(head + counts[kc[bot]] + rank_r[bot])
-        top = kz > lz - depth
-        ext_col.append(kc[top])
-        ext_z.append(kz[top] - lz)
-        ext_slot.append(head - (counts[kc[top]] - rank_r[top]))
-    ec = np.concatenate(ext_col)
-    ez = np.concatenate(ext_z)
-    es = np.concatenate(ext_slot)
-    stride = 2.0 * lz + 2.0 * depth + 4.0
-    eorder = np.argsort(ec * stride + ez, kind="stable")
-    ec, ez, es = ec[eorder], ez[eorder], es[eorder]
-    ekeys = ec * stride + ez
-    # append a sentinel so searchsorted==len is addressable
-    ec_s = np.concatenate([ec, [-1]])
-    es_s = np.concatenate([es, [0]])
-
-    SUB = 8
-    qc, qz, qs = ec[::SUB], ez[::SUB], es[::SUB]
-    if dim == 3:
-        qcx, qcy = qc // nc[1], qc % nc[1]
-    else:
-        qcx, qcy = qc, np.zeros_like(qc)
-    need_lo = 0
-    need_hi = 0
+    SLACK = int(__import__('os').environ.get('TPUSPH_STRIP_SLACK', '4'))
     offsets = ([(ox, oy) for ox in (-1, 0, 1) for oy in (-1, 0, 1)]
                if dim == 3 else [(ox, 0) for ox in (-1, 0, 1)])
-    for ox, oy in offsets:
-        nx = qcx + ox
-        ny = qcy + oy
-        if box.periodic[0]:
-            nx = nx % nc[0]
-        if dim == 3 and box.periodic[1]:
-            ny = ny % nc[1]
-        valid = (nx >= 0) & (nx < nc[0])
-        if dim == 3:
-            valid &= (ny >= 0) & (ny < nc.get(1, 1))
-            ncq = nx * nc[1] + ny
-        else:
-            ncq = nx
-        ncq = np.where(valid, ncq, 0)
-        # below: window start (tile floor - CH*mlo) must reach the first
-        # neighbor slot with z >= z_i - side
-        ilo = np.searchsorted(ekeys, ncq * stride + (qz - side))
-        in_col = ec_s[ilo] == ncq
-        lo_slot = np.where(in_col & valid, es_s[ilo], np.iinfo(np.int32).max)
-        need_lo = max(need_lo, int(np.max((qs // TS) * TS - lo_slot)))
-        # above: window end (tile ceil + CH*mhi) must reach the last
-        # neighbor slot with z <= z_i + side
-        ihi = np.searchsorted(ekeys, ncq * stride + (qz + side),
-                              side="right") - 1
-        in_col = ec_s[ihi] == ncq
-        hi_slot = np.where(in_col & valid, es_s[ihi], np.iinfo(np.int32).min)
-        need_hi = max(need_hi, int(np.max(hi_slot - ((qs // TS) * TS + TS - 1))))
 
-    # +1 chunk absorbs the SUB-row subsampling and runtime drift
-    mlo = max(int(math.ceil(need_lo / CH)) + 1, 1)
-    mhi = max(int(math.ceil(need_hi / CH)) + 1, 1)
-    # margins beyond the column itself are pointless (out-of-range chunks
-    # are killed on the unwrapped index, so wide windows can't alias) —
-    # clamp, then reject only when the window cost beats band/column
-    n32 = col_cap // CH
-    mlo = min(mlo, n32)
-    mhi = min(mhi, n32)
-    if CH * (mlo + (TS // CH) + mhi) > 640:
+    def ceil128(v):
+        return -(-v // 128) * 128
+
+    def measure_nc(nc):
+        """Measure per-row extreme rank reach (lo_rank, hi_rank, q_rank)
+        plus occupancy stats for ONE plane-column count choice."""
+        cols = None
+        for a in plane_axes:
+            cc = np.clip(((x[:, a] - lo[a]) / (length[a] / nc[a])
+                          ).astype(np.int64), 0, nc[a] - 1)
+            cols = cc if cols is None else cols * nc[a] + cc
+        z = np.clip(x[:, col_axis] - lo[col_axis], 0.0, lz * (1 - 1e-9))
+        ncols = int(np.prod([nc[a] for a in plane_axes]))
+        counts = np.bincount(cols, minlength=ncols)
+        nb2 = nt2 = 0
+        if col_per:
+            # seam-ghost band sizes: particles within `depth` of each face
+            nb2 = int(np.bincount(cols[z < depth], minlength=ncols).max())
+            nt2 = int(np.bincount(cols[z > lz - depth],
+                                  minlength=ncols).max())
+
+        # ---- exact CROSS-COLUMN rank margins (RANK space) ---------------
+        # A rank window indexed by i's tile must cover [z_i-side, z_i+side]
+        # in every NEIGHBOR column's slot space, whose z->slot map differs
+        # from the home column's wherever densities differ. Measured
+        # exactly (every row): build the rank-space layout (ghost bands
+        # included) and searchsorted every (i, neighbor-column) pair,
+        # keeping per-row extreme rank reach. The per-candidate (ts, ch)
+        # tile alignment is applied afterwards — the measurement itself is
+        # tile-agnostic.
+        order = np.lexsort((z, cols))
+        kc, kz = cols[order], z[order]
+        starts_r = np.concatenate([[0], np.cumsum(counts)])
+        rank_r = np.arange(len(kz)) - starts_r[kc]
+        ext_col = [kc]
+        ext_z = [kz]
+        ext_rank = [rank_r]
+        if col_per:
+            bot = kz < depth
+            ext_col.append(kc[bot])
+            ext_z.append(kz[bot] + lz)
+            ext_rank.append(counts[kc[bot]] + rank_r[bot])
+            top = kz > lz - depth
+            ext_col.append(kc[top])
+            ext_z.append(kz[top] - lz)
+            ext_rank.append(-(counts[kc[top]] - rank_r[top]))
+        ec = np.concatenate(ext_col)
+        ez = np.concatenate(ext_z)
+        er = np.concatenate(ext_rank).astype(np.float64)
+        stride_key = 2.0 * lz + 2.0 * depth + 4.0
+        eorder = np.argsort(ec * stride_key + ez, kind="stable")
+        ec, ez, er = ec[eorder], ez[eorder], er[eorder]
+        ekeys = ec * stride_key + ez
+        # append a sentinel so searchsorted==len is addressable
+        ec_s = np.concatenate([ec, [-1]])
+        er_s = np.concatenate([er, [0.0]])
+
+        if dim == 3:
+            qcx, qcy = ec // nc[1], ec % nc[1]
+        else:
+            qcx, qcy = ec, np.zeros_like(ec)
+        m_samp = len(ec)
+        lo_rank = np.full(m_samp, np.inf)   # lowest rank any window reaches
+        hi_rank = np.full(m_samp, -np.inf)  # highest rank
+        for ox, oy in offsets:
+            nx = qcx + ox
+            ny = qcy + oy
+            if box.periodic[0]:
+                nx = nx % nc[0]
+            if dim == 3 and box.periodic[1]:
+                ny = ny % nc[1]
+            valid = (nx >= 0) & (nx < nc[0])
+            if dim == 3:
+                valid &= (ny >= 0) & (ny < nc.get(1, 1))
+                ncq = nx * nc[1] + ny
+            else:
+                ncq = nx
+            ncq = np.where(valid, ncq, 0)
+            # below: first neighbor slot with z >= z_i - side
+            ilo = np.searchsorted(ekeys, ncq * stride_key + (ez - side))
+            in_col = ec_s[ilo] == ncq
+            lo_rank = np.minimum(
+                lo_rank, np.where(in_col & valid, er_s[ilo], np.inf))
+            # above: last neighbor slot with z <= z_i + side
+            ihi = np.searchsorted(ekeys, ncq * stride_key + (ez + side),
+                                  side="right") - 1
+            in_col = ec_s[ihi] == ncq
+            hi_rank = np.maximum(
+                hi_rank, np.where(in_col & valid, er_s[ihi], -np.inf))
+        return er, lo_rank, hi_rank, counts, nb2, nt2
+
+    # ---- (column count) x (ts, ch) enumeration ---------------------------
+    # Issued lanes quantize to 128-wide vregs: every window W in (128, 256]
+    # costs 256 lanes. Two levers shrink W to ONE vreg: small tiles with
+    # tight chunk margins, and COARSER plane columns — a column side
+    # commensurate with the particle spacing equalizes per-column density
+    # (the cross-column rank mismatch otherwise grows linearly with z and
+    # blows the margins). Everything is MEASURED; min lane cost wins.
+    # Margins keep >= SLACK rows of slack against runtime drift; the
+    # rebuild-time coverage check backstops (overflow abort).
+    nc0 = {a: max(int(length[a] // side), 1) for a in plane_axes}
+    if plane_nc is not None:
+        # forced column counts (dist mode: every brick must compile the
+        # same program, so the lead brick's choice binds them all)
+        nc_list = [{a: int(v) for a, v in zip(plane_axes, plane_nc)}]
+    else:
+        # pre-rank candidate column counts by a CHEAP mismatch proxy
+        # (bincount only), then fully measure the best few: the proxy for
+        # nc is the worst neighbor-pair margin need, margin_z*max_density
+        # + |density difference|*lz (cross-column rank mismatch grows
+        # linearly along the whole column)
+        def proxy(nc):
+            cols_p = None
+            for a in plane_axes:
+                cc = np.clip(((x[:, a] - lo[a]) / (length[a] / nc[a])
+                              ).astype(np.int64), 0, nc[a] - 1)
+                cols_p = cc if cols_p is None else cols_p * nc[a] + cc
+            ncols_p = int(np.prod([nc[a] for a in plane_axes]))
+            dens = np.bincount(cols_p, minlength=ncols_p) / max(lz, 1e-30)
+            if dim == 3:
+                d2 = dens.reshape(nc[0], nc[1])
+            else:
+                d2 = dens.reshape(nc[0], 1)
+            worst = 0.0
+            for ox in (-1, 0, 1):
+                for oy in ((-1, 0, 1) if dim == 3 else (0,)):
+                    dn = np.roll(np.roll(d2, ox, 0), oy, 1)
+                    pair = side * np.maximum(d2, dn) + np.abs(d2 - dn) * lz
+                    worst = max(worst, float(pair.max()))
+            return worst
+
+        lo_nc = {a: max(int(math.ceil(nc0[a] * 0.6)), 1) for a in plane_axes}
+        opts = []
+        for k in range(nc0[plane_axes[0]] - lo_nc[plane_axes[0]] + 1):
+            nc = {a: max(nc0[a] - k, 1) for a in plane_axes}
+            opts.append((proxy(nc), k, nc))
+        opts.sort(key=lambda t: (t[0], t[1]))
+        nc_list = [t[2] for t in opts[:4]]
+        if nc0 not in nc_list:
+            nc_list.append(dict(nc0))
+    best = None
+    seen_nc = set()
+    for nc in nc_list:
+        key_nc = tuple(sorted(nc.items()))
+        if key_nc in seen_nc:
+            continue
+        seen_nc.add(key_nc)
+        ncols = int(np.prod([nc[a] for a in plane_axes]))
+        if ncols >= (1 << 12):
+            continue  # u32 sort key budget: 12 column bits + 20 z bits
+        q_rank, lo_rank, hi_rank, counts, nb2, nt2 = measure_nc(nc)
+        max_cnt = int(counts.max())
+        for ts, ch in candidates:
+            if ts % ch or ch > ts:
+                continue
+            head = int(math.ceil((nt2 * headroom + 4) / ch)) * ch \
+                if col_per else 0
+            tail = int(math.ceil((nb2 * headroom + 4) / ch)) * ch \
+                if col_per else 0
+            col_cap = int(math.ceil(
+                (head + max_cnt * headroom + tail + ch) / ts)) * ts
+            qslot = q_rank + head
+            tfloor = np.floor(qslot / ts) * ts
+            need_lo = max(0.0, float(np.max(tfloor - (lo_rank + head))))
+            need_hi = max(0.0, float(np.max((hi_rank + head)
+                                            - (tfloor + ts - 1))))
+
+            def chunks(need):
+                nat = max(int(math.ceil(need / ch)), 1)
+                if nat * ch - need < SLACK:
+                    nat += 1
+                return nat
+
+            nch = col_cap // ch
+            mlo = min(chunks(need_lo), nch)
+            mhi = min(chunks(need_hi), nch)
+            w = ch * (mlo + ts // ch + mhi)
+            if w > 640:
+                continue
+            cost = ceil128(w)
+            key = (cost, -ncols, -ts, -ch)
+            if best is None or key < best[0]:
+                best = (key, dict(nc), ts, ch, head, tail, col_cap,
+                        mlo, mhi)
+    if best is None:
         return None  # density inhomogeneity too strong: band/column win
+    _, nc, ts, ch, head, tail, col_cap, mlo, mhi = best
+
     if dim == 3:
         ncx, ncy = nc[0], nc[1]
         cell_xy = (length[0] / ncx, length[1] / ncy)
@@ -271,7 +383,7 @@ def choose_strip_geometry(box: Box, cutoff: float, dim: int, skin: float,
         lengths=tuple(float(v) for v in length),
         origin=tuple(float(v) for v in lo),
         cell_xy=tuple(float(v) for v in cell_xy),
-        margin_dist=float(side), skin=float(skin))
+        margin_dist=float(side), skin=float(skin), ts=int(ts), ch=int(ch))
 
 
 # --------------------------------------------------------------------------
@@ -321,7 +433,8 @@ def column_id(x: jax.Array, geom: StripGeometry):
 
 
 def build_strips(state: ParticleState, geom: StripGeometry, box: Box,
-                 nbuilds=None):
+                 nbuilds=None, extra=None, keep_ghosts: bool = False,
+                 return_seam: bool = False):
     """Sort owned particles into dense z-ordered columns (slot = col*cap +
     head + rank) and write the seam-ghost bands. The strip analog of
     grid.build; runs at rebuild cadence only. Positions wrap here
@@ -337,7 +450,16 @@ def build_strips(state: ParticleState, geom: StripGeometry, box: Box,
     not persistent across a rebuild (the force stage recomputes them
     before final_integrate) and are zeroed instead of moved. Ghost bands
     are filled by a fixed-size gather/scatter over the static per-column
-    ghost budget."""
+    ghost budget.
+
+    Dist-mode extensions (strip-per-brick — r2 VERDICT #3): ``extra`` is a
+    pytree of (n,)/(n, S) int32 marker arrays carried through both sorts
+    (comm send/ghost bookkeeping, like grid.build's extra); ``keep_ghosts``
+    sorts halo ghosts (owned=False) in as regular rows instead of dropping
+    them; ``return_seam`` also returns the seam-band copy map
+    (src (K,), dest (K,) with n = invalid, shift (K,)) so per-step comm can
+    refresh seam copies of halo ghosts, which — unlike owned rows — do not
+    self-evolve correctly between rebuilds."""
     n = state.capacity
     assert n == geom.n_slots, (n, geom.n_slots)
     cap = geom.col_cap
@@ -348,7 +470,10 @@ def build_strips(state: ParticleState, geom: StripGeometry, box: Box,
     depth = geom.ghost_depth
 
     state = dataclasses.replace(state, x=box.wrap(state.x))
-    live = state.alive & state.owned          # previous ghosts are dropped
+    # previous strip seam ghosts are dropped; in dist mode (keep_ghosts)
+    # the caller already killed stale halo ghosts and merged fresh ones,
+    # which must sort in as regular rows
+    live = state.alive if keep_ghosts else (state.alive & state.owned)
     col, z = column_id(state.x, geom)
     zq = jnp.minimum((z * (float(1 << 20) / lz)).astype(jnp.uint32),
                      jnp.uint32((1 << 20) - 1))
@@ -364,10 +489,28 @@ def build_strips(state: ParticleState, geom: StripGeometry, box: Box,
         pay += [a[:, 0], a[:, 1], a[:, 2]]
     pay += [getattr(state, nm) for nm in payload_names]
     pay.append(jnp.where(live, jnp.uint8(1), jnp.uint8(0)))
+    npay = len(pay)
+
+    # extra marker columns ride both sorts ((n, S) leaves split columnwise:
+    # lax.sort operands must share one shape)
+    extra_leaves, extra_def = ([], None)
+    extra_meta = []
+    if extra is not None:
+        extra_leaves, extra_def = jax.tree_util.tree_flatten(extra)
+        for leaf in extra_leaves:
+            if leaf.ndim == 1:
+                pay.append(leaf)
+                extra_meta.append(1)
+            else:
+                for s in range(leaf.shape[1]):
+                    pay.append(leaf[:, s])
+                extra_meta.append(leaf.shape[1])
 
     sorted_all = jax.lax.sort((key, *pay), num_keys=1, is_stable=True)
     key_s = sorted_all[0]
     vals = list(sorted_all[1:])
+    extra_vals = vals[npay:]
+    vals = vals[:npay]
     live_s = vals[-1] > 0
     vals = vals[:-1]
     col_s = jnp.minimum((key_s >> jnp.uint32(20)).astype(jnp.int32),
@@ -409,8 +552,24 @@ def build_strips(state: ParticleState, geom: StripGeometry, box: Box,
     # previous ghosts / dead rows keep stale fields; kill type for safety
     vals[t_i] = jnp.where(live_s | ok, vals[t_i], 0)
 
-    placed = jax.lax.sort((comp, *vals), num_keys=1, is_stable=False)
+    placed = jax.lax.sort((comp, *vals, *extra_vals), num_keys=1,
+                          is_stable=False)
     pvals = list(placed[1:])
+    extra_placed = pvals[len(vals):]
+    pvals = pvals[:len(vals)]
+
+    extra_out = None
+    if extra_def is not None:
+        leaves_out = []
+        i0 = 0
+        for width in extra_meta:
+            if width == 1:
+                leaves_out.append(extra_placed[i0])
+            else:
+                leaves_out.append(
+                    jnp.stack(extra_placed[i0:i0 + width], axis=1))
+            i0 += width
+        extra_out = jax.tree_util.tree_unflatten(extra_def, leaves_out)
 
     def vec3(i0):
         return jnp.stack(pvals[i0:i0 + 3], axis=1)
@@ -421,9 +580,11 @@ def build_strips(state: ParticleState, geom: StripGeometry, box: Box,
     zeros3 = jnp.zeros((n, 3), jnp.float32)
     zn = jnp.zeros(n, jnp.float32)
     new_state = dataclasses.replace(
-        state, f=zeros3, drho=zn, de=zn, rho_c=zn, e_c=zn, **fieldmap)
+        state, f=zeros3, drho=zn, de=zn, vir=zn, rho_c=zn, e_c=zn, **fieldmap)
 
     # ---- seam-ghost bands: fixed-size gather/scatter ---------------------
+    seam = (jnp.zeros(0, jnp.int32), jnp.zeros(0, jnp.int32),
+            jnp.zeros(0, jnp.float32))
     if geom.col_periodic and (head or geom.tail):
         gb = head + geom.tail
         k = ncols * gb
@@ -478,13 +639,15 @@ def build_strips(state: ParticleState, geom: StripGeometry, box: Box,
             jnp.zeros(k, bool), mode="drop")
         upd["owned"] = owned
         new_state = dataclasses.replace(new_state, **upd)
+        seam = (src, dest_w.astype(jnp.int32), shift)
 
     # --- window coverage check (the strip analog of the cell-cap bound) ---
     zs = new_state.x[:, ca] - geom.origin[ca]
     alive_slot = new_state.alive
     big = jnp.float32(8.0 * lz + 8.0)
-    zf = jnp.where(alive_slot, zs, big).reshape(ncols, geom.n32, CH)
-    zl = jnp.where(alive_slot, zs, -big).reshape(ncols, geom.n32, CH)
+    stride = geom.stride
+    zf = jnp.where(alive_slot, zs, big).reshape(ncols, geom.n32, geom.ch)
+    zl = jnp.where(alive_slot, zs, -big).reshape(ncols, geom.n32, geom.ch)
     zfirst = jnp.min(zf, axis=2)     # (ncols, n32)
     zlast = jnp.max(zl, axis=2)
     t_idx = jnp.arange(geom.ntiles)
@@ -492,7 +655,7 @@ def build_strips(state: ParticleState, geom: StripGeometry, box: Box,
     n32 = geom.n32
 
     def chunk_at(arr, off, fill):
-        ci = 2 * t_idx + off
+        ci = stride * t_idx + off
         oob = (ci < 0) | (ci >= n32)
         v = arr[:, jnp.clip(ci, 0, n32 - 1)]
         return jnp.where(oob[None, :], fill, v)
@@ -500,12 +663,13 @@ def build_strips(state: ParticleState, geom: StripGeometry, box: Box,
     # the check is CROSS-COLUMN: a tile's window (same rank interval in
     # every neighbor column) must cover [z_i - ce, z_i + ce] in each
     # neighbor's own slot space. Running max-below / min-above catch alive
-    # rows hiding past dead zones (short columns).
+    # rows hiding past dead zones (short columns). z-sorted columns make
+    # the tile's z extremes its first chunk's min / last chunk's max.
     zmax_below = jax.lax.cummax(zlast, axis=1)
     zmin_above = jnp.flip(jax.lax.cummin(jnp.flip(zfirst, 1), axis=1), 1)
-    tile_alive = zfirst[:, ::2] < big * 0.5
-    zf_self = zfirst[:, ::2]
-    zl_self = zlast[:, 1::2]
+    tile_alive = zfirst[:, ::stride] < big * 0.5
+    zf_self = zfirst[:, ::stride]
+    zl_self = zlast[:, stride - 1::stride]
     bad = jnp.zeros(zf_self.shape, bool)
     for ox, oy in _neighbor_offsets(geom):
         perm, valid = _plane_neighbor_perm(geom, ox, oy)
@@ -513,7 +677,7 @@ def build_strips(state: ParticleState, geom: StripGeometry, box: Box,
         below_bad = chunk_at(zmax_below[jnp.asarray(perm)],
                              -geom.mlo - 1, -big) > (zf_self - ce)
         above_bad = chunk_at(zmin_above[jnp.asarray(perm)],
-                             2 + geom.mhi, big) < (zl_self + ce)
+                             stride + geom.mhi, big) < (zl_self + ce)
         bad = bad | (vmask & (below_bad | above_bad))
     viol = jnp.sum((tile_alive & bad).astype(jnp.int32))
     overflow = (overflow + viol)[None]
@@ -529,7 +693,12 @@ def build_strips(state: ParticleState, geom: StripGeometry, box: Box,
         x_ref=new_state.x,
         overflow=overflow,
         nbuilds=nbuilds + 1)
-    return new_state, data
+    ret = (new_state, data)
+    if extra_def is not None:
+        ret = ret + (extra_out,)
+    if return_seam:
+        ret = ret + (seam,)
+    return ret
 
 
 # --------------------------------------------------------------------------
@@ -537,18 +706,18 @@ def build_strips(state: ParticleState, geom: StripGeometry, box: Box,
 # --------------------------------------------------------------------------
 
 def pack_i_strip(fields: dict, geom: StripGeometry) -> jax.Array:
-    """(ncols, ntiles, TS, F): the i-tiles. Pure reshape+stack."""
+    """(ncols, ntiles, ts, F): the i-tiles. Pure reshape+stack."""
     cols = _field_list(fields)
     arr = jnp.stack(cols, axis=1)   # (n_slots, F)
-    return arr.reshape(geom.ncols, geom.ntiles, TS, F_ROWS)
+    return arr.reshape(geom.ncols, geom.ntiles, geom.ts, F_ROWS)
 
 
 def pack_window_strip(fields: dict, geom: StripGeometry) -> jax.Array:
     """(ncols + 1, ntiles, F, W): per (column, tile), the rank window
-    [TS*t - CH*mlo, TS*(t+1) + CH*mhi) assembled lane-wise from CH-row
-    chunks via static rolls + stride-2 slices (window chunk 2t+c is
-    roll(-c)[::2]). Out-of-column chunks are killed (type row zeroed) —
-    the periodic seam is handled by the ghost bands, not by wrapping. A
+    [ts*t - ch*mlo, ts*(t+1) + ch*mhi) assembled lane-wise from ch-row
+    chunks via static rolls + strided slices (window chunk stride*t+c is
+    roll(-c)[::stride]). Out-of-column chunks are killed (type row zeroed)
+    — the periodic seam is handled by the ghost bands, not by wrapping. A
     final all-dead sentinel column serves non-periodic plane edges."""
     cols = _field_list(fields)
     win = jnp.stack([window_row(f, r, geom) for r, f in enumerate(cols)],
@@ -560,13 +729,14 @@ def pack_window_strip(fields: dict, geom: StripGeometry) -> jax.Array:
 def window_row(f, row_id: int, geom: StripGeometry) -> jax.Array:
     """One field row of the window array: (ncols, ntiles, W)."""
     ncols, n32, ntiles = geom.ncols, geom.n32, geom.ntiles
+    stride = geom.stride
     t_idx = jnp.arange(ntiles)
-    C = f.reshape(ncols, n32, CH)
+    C = f.reshape(ncols, n32, geom.ch)
     pieces = []
-    for c in range(-geom.mlo, 2 + geom.mhi):
-        D = jnp.roll(C, -c, axis=1)[:, ::2][:, :ntiles]
+    for c in range(-geom.mlo, stride + geom.mhi):
+        D = jnp.roll(C, -c, axis=1)[:, ::stride][:, :ntiles]
         if row_id == RTYPE:
-            ci = 2 * t_idx + c
+            ci = stride * t_idx + c
             oob = ((ci < 0) | (ci >= n32))[None, :, None]
             D = jnp.where(oob, 0.0, D)
         pieces.append(D)
@@ -577,6 +747,19 @@ def window_row(f, row_id: int, geom: StripGeometry) -> jax.Array:
 # the kernel
 # --------------------------------------------------------------------------
 
+def _default_t_blk(geom: StripGeometry) -> int:
+    """Tiles per program: amortizes per-program overhead (grid sequencing,
+    DMA issue) over ~128 i-rows regardless of tile size; must divide
+    ntiles. Override with TPUSPH_STRIP_TBLK. NEVER unroll the body —
+    a t_blk-times unrolled body explodes Mosaic compile times; the kernels
+    loop with lax.fori_loop instead (CLAUDE.md invariant)."""
+    env = int(__import__('os').environ.get('TPUSPH_STRIP_TBLK', '0'))
+    if env:
+        return env
+    pref = max(128 // geom.ts, 1)
+    return next(t for t in range(pref, 0, -1) if geom.ntiles % t == 0)
+
+
 def make_strip_kernel(geom: StripGeometry, spec: PhysicsSpec, ntypes: int,
                       sweep: str, interpret: bool = False):
     """pallas_call for one sweep over (ncols, ntiles) i-tiles; physics in
@@ -584,15 +767,11 @@ def make_strip_kernel(geom: StripGeometry, spec: PhysicsSpec, ntypes: int,
     from tpusph.ops import tile_physics
 
     W = geom.w
+    ts = geom.ts
     T1 = ntypes + 1
     offs = _neighbor_offsets(geom)
-    n_out = tile_physics.SWEEP_N_OUT[sweep]
-    # tiles per program: amortizes per-program overhead (grid sequencing,
-    # DMA issue) over more compute; must divide ntiles
-    # 2 tiles/program: ~same throughput as 4 (4.43M vs 4.40M p-s/s @1M)
-    # at roughly half the Mosaic compile time
-    t_blk = int(__import__('os').environ.get('TPUSPH_STRIP_TBLK', '0')) \
-        or next(t for t in (2, 1) if geom.ntiles % t == 0)
+    n_out = tile_physics.sweep_n_out(sweep, spec)
+    t_blk = _default_t_blk(geom)
 
     def kernel(scal_ref, tabs_ref, i_ref, *refs):
         out_ref = refs[-1]
@@ -604,13 +783,13 @@ def make_strip_kernel(geom: StripGeometry, spec: PhysicsSpec, ntypes: int,
         # once — a t_blk-times unrolled body made Mosaic compile times
         # explode. Dynamic indexing on the leading dims is allowed.
         def tile_body(tt, carry):
-            i_tile = i_ref[0, tt]              # (TS, F)
+            i_tile = i_ref[0, tt]              # (ts, F)
 
             def _body():
                 lk = tile_physics.Lookups(scal_ref, tabs2d, vec_cols,
                                           vec_rows, spec, T1)
                 hoist = tile_physics.hoist_i(i_tile, lk, spec, sweep)
-                accs = [jnp.zeros((TS,), jnp.float32) for _ in range(n_out)]
+                accs = [jnp.zeros((ts,), jnp.float32) for _ in range(n_out)]
                 for kk, (ox, oy) in enumerate(offs):
                     sx, sy = _plane_shift(geom, ox, oy, cidx)
                     j_tile = win_refs[kk][0, tt]   # (F, W)
@@ -621,6 +800,8 @@ def make_strip_kernel(geom: StripGeometry, spec: PhysicsSpec, ntypes: int,
 
                 out_rows = {"rho": (ORHO,), "cgrad": (OCGX, OCGY, ODE),
                             "force": (OFX, OFY, OFZ, ODRHO, ODE)}[sweep]
+                if sweep == "force" and spec.virial:
+                    out_rows = out_rows + (ORHO,)   # OVIR: rho row free here
                 for row, acc in zip(out_rows, accs):
                     out_ref[0, tt, :, row] = acc
 
@@ -633,7 +814,7 @@ def make_strip_kernel(geom: StripGeometry, spec: PhysicsSpec, ntypes: int,
 
                 def _zeros():
                     for row in (OCGX, OCGY, ODE):
-                        out_ref[0, tt, :, row] = jnp.zeros((TS,), jnp.float32)
+                        out_ref[0, tt, :, row] = jnp.zeros((ts,), jnp.float32)
 
                 pl.when(do)(_body)
                 pl.when(jnp.logical_not(do))(_zeros)
@@ -648,7 +829,7 @@ def make_strip_kernel(geom: StripGeometry, spec: PhysicsSpec, ntypes: int,
 
     in_specs = [pl.BlockSpec(memory_space=pltpu.SMEM),
                 pl.BlockSpec(memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, t_blk, TS, F_ROWS),
+                pl.BlockSpec((1, t_blk, ts, F_ROWS),
                              index_map=lambda c, t: (c, t, 0, 0),
                              memory_space=pltpu.VMEM)]
     for ox, oy in offs:
@@ -656,7 +837,7 @@ def make_strip_kernel(geom: StripGeometry, spec: PhysicsSpec, ntypes: int,
             pl.BlockSpec((1, t_blk, F_ROWS, W),
                          index_map=_band_index_map(geom, ox, oy),
                          memory_space=pltpu.VMEM))
-    out_spec = pl.BlockSpec((1, t_blk, TS, 8),
+    out_spec = pl.BlockSpec((1, t_blk, ts, 8),
                             index_map=lambda c, t: (c, t, 0, 0),
                             memory_space=pltpu.VMEM)
 
@@ -669,7 +850,98 @@ def make_strip_kernel(geom: StripGeometry, spec: PhysicsSpec, ntypes: int,
             in_specs=in_specs,
             out_specs=out_spec,
             out_shape=jax.ShapeDtypeStruct(
-                (geom.ncols, geom.ntiles, TS, 8), jnp.float32),
+                (geom.ncols, geom.ntiles, ts, 8), jnp.float32),
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 1024 * 1024,
+            ),
+            interpret=interpret,
+        )(*args)
+
+    return call
+
+
+def make_vapor_kernel(geom: StripGeometry, vtype: int, cut: float,
+                      interpret: bool = False):
+    """The fix phase_change interface query as a 4th strip sweep
+    (SURVEY §3.5: the reference walks the neighbor list counting vapor
+    neighbors and finding the nearest — here one masked window sweep):
+    per i, (count of type-``vtype`` neighbors within ``cut``, slot of the
+    nearest, its rsq). ``cut`` must be <= margin_dist (the rank windows only
+    cover cutoff + skin); the caller enforces it. Output rows:
+    ORHO = count, OCGX = nearest slot, OCGY = nearest rsq (BIG if none)."""
+    W = geom.w
+    ts = geom.ts
+    offs = _neighbor_offsets(geom)
+    BIG = 1e30  # plain float: a jnp scalar here would be a captured const
+    assert cut <= geom.margin_dist + 1e-9, (cut, geom.margin_dist)
+    t_blk = _default_t_blk(geom)
+
+    def kernel(i_ref, *refs):
+        out_ref = refs[-1]
+        win_refs = refs[:-1]
+        cidx = pl.program_id(0)
+
+        def tile_body(tt, carry):
+            i_tile = i_ref[0, tt]              # (ts, F)
+
+            def icol(r):
+                return i_tile[:, r:r + 1]
+
+            alive_i = icol(RTYPE) > 0.5
+            acc_cnt = jnp.zeros((ts,), jnp.float32)
+            acc_mn = jnp.full((ts,), BIG, jnp.float32)
+            acc_sl = jnp.zeros((ts,), jnp.float32)
+            for kk, (ox, oy) in enumerate(offs):
+                sx, sy = _plane_shift(geom, ox, oy, cidx)
+                j = win_refs[kk][0, tt]        # (F, W)
+                dx0 = icol(RX) - (j[RX, :][None, :] + sx)
+                dx1 = icol(RY) - (j[RY, :][None, :] + sy)
+                dx2 = icol(RZ) - j[RZ, :][None, :]
+                rsq = dx0 * dx0 + dx1 * dx1 + dx2 * dx2
+                jt = j[RTYPE, :][None, :]
+                isvap = (jt > vtype - 0.5) & (jt < vtype + 0.5)
+                mask = alive_i & isvap & (rsq > 1e-12) & (rsq < cut * cut)
+                acc_cnt = acc_cnt + jnp.sum(mask.astype(jnp.float32), axis=1)
+                big = jnp.where(mask, rsq, BIG)
+                mn = jnp.min(big, axis=1)
+                # slot of the per-row argmin: min slot among lanes achieving
+                # the row min (two lane reductions, no argmin lowering)
+                sl = jnp.min(jnp.where(big <= mn[:, None],
+                                       j[RSLOT, :][None, :], BIG), axis=1)
+                take = mn < acc_mn
+                acc_sl = jnp.where(take, sl, acc_sl)
+                acc_mn = jnp.minimum(acc_mn, mn)
+            out_ref[0, tt, :, ORHO] = acc_cnt
+            out_ref[0, tt, :, OCGX] = acc_sl
+            out_ref[0, tt, :, OCGY] = acc_mn
+            return carry
+
+        if t_blk == 1:
+            tile_body(0, 0)
+        else:
+            jax.lax.fori_loop(0, t_blk, tile_body, 0)
+
+    in_specs = [pl.BlockSpec((1, t_blk, ts, F_ROWS),
+                             index_map=lambda c, t: (c, t, 0, 0),
+                             memory_space=pltpu.VMEM)]
+    for ox, oy in offs:
+        in_specs.append(
+            pl.BlockSpec((1, t_blk, F_ROWS, W),
+                         index_map=_band_index_map(geom, ox, oy),
+                         memory_space=pltpu.VMEM))
+    out_spec = pl.BlockSpec((1, t_blk, ts, 8),
+                            index_map=lambda c, t: (c, t, 0, 0),
+                            memory_space=pltpu.VMEM)
+
+    def call(i_arr, win):
+        args = [i_arr] + [win] * len(offs)
+        return pl.pallas_call(
+            kernel,
+            grid=(geom.ncols, geom.ntiles // t_blk),
+            in_specs=in_specs,
+            out_specs=out_spec,
+            out_shape=jax.ShapeDtypeStruct(
+                (geom.ncols, geom.ntiles, ts, 8), jnp.float32),
             compiler_params=pltpu.CompilerParams(
                 vmem_limit_bytes=100 * 1024 * 1024,
             ),
@@ -710,15 +982,16 @@ class StripBackend(BandBackend):
         rank windows across the 9 neighbor columns) contains more than one
         phase — exactly the tiles whose color gradients can be nonzero."""
         geom = self.geom
-        ty = fields["type_f"].reshape(geom.ncols, geom.n32, CH)
+        stride = geom.stride
+        ty = fields["type_f"].reshape(geom.ncols, geom.n32, geom.ch)
         tmax_c = jnp.max(ty, axis=2)                     # (ncols, n32)
         tmin_c = jnp.min(jnp.where(ty > 0, ty, 99.0), axis=2)
         t_idx = jnp.arange(geom.ntiles)
 
         def win_reduce(arr, red, fill):
             outs = []
-            for cix in range(-geom.mlo, 2 + geom.mhi):
-                ci = 2 * t_idx + cix
+            for cix in range(-geom.mlo, stride + geom.mhi):
+                ci = stride * t_idx + cix
                 oob = (ci < 0) | (ci >= geom.n32)
                 v = arr[:, jnp.clip(ci, 0, geom.n32 - 1)]
                 outs.append(jnp.where(oob[None, :], fill, v))
@@ -735,8 +1008,32 @@ class StripBackend(BandBackend):
         gmax = jnp.max(jnp.stack(maxs), axis=0)
         gmin = jnp.min(jnp.stack(mins), axis=0)
         mixed = (gmax > gmin + 0.5) & (gmin < 90.0)
-        return jnp.repeat(mixed.astype(jnp.float32).reshape(-1), TS,
+        return jnp.repeat(mixed.astype(jnp.float32).reshape(-1), geom.ts,
                           total_repeat_length=geom.n_slots)
+
+    def vapor_neighbor(self, state: ParticleState, box: Box, vtype: int,
+                       cut: float, aux):
+        """fix phase_change interface query over the strip windows:
+        (count, nearest_row, nearest_rsq) of type-`vtype` neighbors within
+        `cut` for every pool row. `cut` must fit inside the rank-window
+        margin (cutoff + skin) — the geometry guarantees coverage there."""
+        from tpusph.ops.band_pair import _state_fields
+        geom = self.geom
+        n = geom.n_slots
+        cut = float(min(cut, geom.margin_dist))
+        key = ("vapor", vtype, cut)
+        if key not in self._calls:
+            self._calls[key] = make_vapor_kernel(
+                geom, vtype, cut, interpret=self.interpret)
+        fields = _state_fields(state)
+        fields["slot"] = jnp.arange(n, dtype=jnp.float32)
+        i_arr = self._pack_i(fields)
+        win = self._pack_band(fields)
+        out = self._calls[key](i_arr, win).reshape(n, 8)
+        count = out[:, ORHO].astype(jnp.int32)
+        nearest = jnp.clip(out[:, OCGX], 0, n - 1).astype(jnp.int32)
+        rsq = jnp.where(count > 0, out[:, OCGY], jnp.inf)
+        return count, nearest, rsq
 
     def init_aux(self, state: ParticleState, box: Box):
         return build_strips(self.resize(state), self.geom, box)

@@ -260,16 +260,19 @@ def tile_part_sums(i_tile, j_tile, shift, hoist, lk: Lookups,
                 live, -0.5 * (fpair * dvdr + fvisc * dvsq), 0.0)
         else:
             h_ij = jnp.maximum(cut, 1e-30)
-            mu = h_ij * dvdr / (rsq + 0.01 * h_ij * h_ij)
             ci = hoist["ci"]                     # (ROWS, 1) hoisted
             if spec.lj or (spec.ideal_gas and not spec.tait):
                 cj = _gas_sound_speed(rho_j, e_j, m_j,
                                       cj_1d("gas_gamma"), spec)
             else:
                 cj = cj_1d("c0")
+            # mu and the Monaghan prefactor fused into ONE per-lane divide
+            # (divides are the slow VPU op): matches pair_terms.force_pair
+            # algebraically
             fvisc = jnp.where(
                 dvdr < 0.0,
-                -c2d("visc") * (ci + cj) * mu / (rho_i + rho_j),
+                -c2d("visc") * (ci + cj) * h_ij * dvdr
+                / ((rsq + 0.01 * h_ij * h_ij) * (rho_i + rho_j)),
                 0.0)
             fpair = jnp.where(
                 live, -m_i * m_j * (fi + fj + fvisc) * wfd, 0.0)
@@ -315,9 +318,20 @@ def tile_part_sums(i_tile, j_tile, shift, hoist, lk: Lookups,
         f1 = f1 + coef * ((a_i + a_j) * dx1 - cdi * cgy_i - cdj * cgy_j)
         f2 = f2 + coef * ((a_i + a_j) * dx2 - cdi * cgz_i - cdj * cgz_j)
 
-    return (jnp.sum(f0, axis=1), jnp.sum(f1, axis=1),
+    outs = (jnp.sum(f0, axis=1), jnp.sum(f1, axis=1),
             jnp.sum(f2, axis=1), jnp.sum(drho, axis=1),
             jnp.sum(de, axis=1))
+    if spec.virial:
+        # pair virial sum_j f_ij . r_ij — from the ACCUMULATED force tiles,
+        # so every term (pressure/viscosity along dx and dv, capillary
+        # stress) contributes exactly its f.r (mirrors pair_terms.force_pair)
+        outs = outs + (jnp.sum(f0 * dx0 + f1 * dx1 + f2 * dx2, axis=1),)
+    return outs
 
 
 SWEEP_N_OUT = {"rho": 1, "cgrad": 3, "force": 5}
+
+
+def sweep_n_out(sweep: str, spec: PhysicsSpec) -> int:
+    n = SWEEP_N_OUT[sweep]
+    return n + 1 if (sweep == "force" and spec.virial) else n

@@ -68,6 +68,11 @@ class PhysicsSpec(NamedTuple):
     # (kernel computes the kernel-derivative/mask once per slice).
     scalar_tables: tuple = ()
     shared_wfd: bool = False
+    # accumulate the per-particle pair virial sum_j f_ij.r_ij in the force
+    # sweep (thermo `press` — src/thermo.cpp pressure, SURVEY §2.8). Off by
+    # default: it costs extra VPU ops per pair lane; Simulation enables it
+    # when thermo_style requests `press`.
+    virial: bool = False
 
 
 def _t1(ntypes, fill=0.0):

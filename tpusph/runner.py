@@ -185,6 +185,22 @@ def thermo_pressure(state: ParticleState, tables: PairTables,
     return jnp.sum(jnp.where(alive, p, 0.0)) / n
 
 
+@partial(jax.jit, static_argnames=("dim",))
+def thermo_virial_pressure(state: ParticleState, box: Box, dim: int):
+    """LAMMPS-compatible pressure from the pair virial (src/thermo.cpp
+    pressure [H], SURVEY §2.8): P = (sum m v^2 + 0.5 sum_i vir_i)/(dim V)
+    with vir_i = sum_j f_ij . r_ij accumulated in the force sweep
+    (PhysicsSpec.virial). The 0.5 corrects the full (non-Newton-halved)
+    per-i sums visiting every pair twice."""
+    alive = state.alive & state.owned
+    m = jnp.where(alive, state.rmass, 0.0)
+    mv2 = jnp.sum(m * jnp.sum(state.v * state.v, axis=-1))
+    w = jnp.sum(jnp.where(alive, state.vir, 0.0))
+    L = box.length
+    vol = L[0] * L[1] * (L[2] if dim == 3 else 1.0)
+    return (mv2 + 0.5 * w) / (dim * vol)
+
+
 @jax.jit
 def thermo_scalars(state: ParticleState):
     """Fused global reductions for thermo output. Returns a dict of device

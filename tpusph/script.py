@@ -306,6 +306,12 @@ class Interpreter:
                 side=side, axis=rest[0],
                 center=[c(rest[1]), c(rest[2])], radius=c(rest[3]),
                 lo=c(rest[4]), hi=c(rest[5]))
+        elif style == "prism":
+            self.regions[rid] = latmod.Prism(
+                side=side,
+                lo=[c(rest[0]), c(rest[2]), c(rest[4])],
+                hi=[c(rest[1]), c(rest[3]), c(rest[5])],
+                xy=c(rest[6]), xz=c(rest[7]), yz=c(rest[8]))
         elif style == "union":
             n = int(rest[0])
             self.regions[rid] = latmod.Union(

@@ -96,6 +96,10 @@ class ParticleState:
     tag: jax.Array    # (N,) i32
     mobile: jax.Array  # (N,) bool
     owned: jax.Array   # (N,) bool; False = halo ghost (dist mode)
+    # per-particle pair virial sum_j f_ij . r_ij from the last force stage
+    # (filled only when PhysicsSpec.virial; thermo `press` reads it).
+    # Recomputed every force stage like f/drho/de — never integrated.
+    vir: jax.Array     # (N,) f32
     # Kahan compensation for the rho/e half-step ledgers (SURVEY §7.2: the
     # 1e-4 gate): fp32 `rho += dtf*drho` rounds at ulp(rho) ~ 1.2e-4 per
     # add — a random walk past 1e-3 relative over 5k steps. The two-sum
@@ -129,6 +133,7 @@ class ParticleState:
             tag=jnp.zeros((capacity,), jnp.int32),
             mobile=jnp.ones((capacity,), bool),
             owned=jnp.ones((capacity,), bool),
+            vir=fz(capacity),
             rho_c=fz(capacity), e_c=fz(capacity),
         )
 
@@ -170,6 +175,7 @@ class ParticleState:
             tag=pad(tag if tag is not None else np.arange(1, n + 1), 0, np.int32),
             mobile=pad(mobile if mobile is not None else np.ones(n, bool), False, bool),
             owned=pad(np.ones(n, bool), False, bool),
+            vir=pad(None),
             rho_c=pad(None), e_c=pad(None),
         )
 
