@@ -133,6 +133,63 @@ def test_strip_dynamics_matches_cellgrid():
         np.testing.assert_allclose(b, a, rtol=5e-4, atol=5e-4, err_msg=field)
 
 
+def test_strip_density_contrast_delta():
+    """Systematic cross-column number-density contrast (8x): the rank
+    mismatch between neighbor columns grows linearly along z, which only
+    the per-(column, neighbor, block) window-retarget tables (GridData.
+    delta, recomputed each rebuild) can absorb — r2's fixed rank windows
+    rejected such systems outright. Gates: a geometry exists, the delta
+    tables are actually nonzero, zero coverage violations, and the forces
+    match the cell-grid oracle."""
+    import jax.numpy as jnp
+    from tpusph.state import ParticleState, Box
+    from tpusph.params import PairTables
+
+    rng = np.random.default_rng(9)
+    ax16 = np.arange(16, dtype=np.float32)
+    dense = np.stack(np.meshgrid(ax16[:8], ax16, ax16, indexing="ij"),
+                     -1).reshape(-1, 3)
+    ax8 = 8.0 + 2.0 * np.arange(4, dtype=np.float32)
+    axc = 2.0 * np.arange(8, dtype=np.float32)
+    sparse = np.stack(np.meshgrid(ax8, axc, axc, indexing="ij"),
+                      -1).reshape(-1, 3)
+    pts = np.concatenate([dense, sparse]).astype(np.float32)
+    pts += rng.uniform(-0.05, 0.05, pts.shape).astype(np.float32)
+    n = len(pts)
+    st = ParticleState.from_arrays(
+        pts, np.ones(n, np.int64), rmass=np.full(n, 0.5, np.float32),
+        rho=np.ones(n, np.float32), e=np.ones(n, np.float32),
+        capacity=((n + 127) // 128) * 128)
+    box = Box.create([0, 0, 0], [16.0, 16.0, 16.0], (True,) * 3)
+    tables = PairTables.zeros(1)
+    tables.set_taitwater(1, 1, rho0=1.0, c0=10.0, viscosity=0.3, h=3.0)
+    tables.set_rhosum(1, 1, h=3.0)
+    spec = PhysicsSpec(dim=3, kernel=kernels.LUCY, tait=True, rhosum_every=1)
+
+    geom = choose_strip_geometry(box, 3.0, 3, 0.5, x=pts)
+    assert geom is not None, "contrast system must strip via delta tables"
+    sb = StripBackend(geom, box, ntypes=1, interpret=True)
+    st_b, data = sb.init_aux(st, box)
+    assert int(np.asarray(data.overflow)[0]) == 0
+    assert int(np.abs(np.asarray(data.delta)).max()) > 0, \
+        "contrast must produce nonzero window retargets"
+    out_s = sb.force_stage(st_b, tables, spec, box, data, istep=0)
+
+    gg = gridlib.make_geometry(box, 3.0, 3, skin=0.5, cap=96)
+    cgb = CellGridBackend(gg)
+    st_c, data_c = cgb.init_aux(st, box)
+    assert int(np.asarray(data_c.overflow)[0]) == 0
+    out_c = compute_forces(st_c, tables, spec, box, cgb, istep=0, aux=data_c)
+    (tc,) = by_tag(out_c, "tag")
+    (ts_,) = by_tag(out_s, "tag")
+    np.testing.assert_array_equal(tc, ts_)
+    for field, rtol, atol in (("rho", 2e-5, 1e-6), ("f", 2e-4, 5e-4),
+                              ("drho", 2e-4, 1e-4), ("de", 2e-4, 5e-4)):
+        (a,) = by_tag(out_c, field)
+        (b,) = by_tag(out_s, field)
+        np.testing.assert_allclose(b, a, rtol=rtol, atol=atol, err_msg=field)
+
+
 def test_strip_overflow_counts_and_drops():
     """A deliberately tiny column capacity must COUNT the overflow (the
     host check aborts) rather than silently mis-sum."""
@@ -140,8 +197,9 @@ def test_strip_overflow_counts_and_drops():
     x = np.asarray(st.x)[np.asarray(st.type) > 0]
     geom = choose_strip_geometry(box, tables.max_cut(), 3, 0.2, x=x)
     # enough total slots to resize, but per-column room far below the
-    # measured occupancy + ghost bands
-    tight = geom._replace(col_cap=128)
+    # measured occupancy + ghost bands (col_cap must stay a block multiple)
+    blk = geom.ts * geom.t_blk
+    tight = geom._replace(col_cap=blk * max(1, 128 // blk))
     sb = StripBackend(tight, box, ntypes=2, interpret=True)
     st_b = sb.resize(st)
     st_b, data = build_strips(st_b, tight, box)

@@ -639,6 +639,48 @@ class Simulation:
         return self._thermo
 
     def run(self, nsteps: int):
+        """Run nsteps. If a strip-geometry coverage overflow aborts the
+        block (the fixed margins no longer fit the evolved density field —
+        SURVEY §5.2's loud-failure contract), re-choose the geometry from
+        the CURRENT state and continue: the adaptive analog of LAMMPS
+        re-neighboring with bigger bins. Steps completed before the abort
+        are kept (the violation counter fires at the first output boundary;
+        a violated window can only have missed pairs at its edges)."""
+        attempts = 0
+        remaining = nsteps
+        while True:
+            try:
+                return self._run_once(remaining)
+            except RuntimeError as err:
+                if ("capacity overflow" not in str(err)
+                        or self.mesh is not None or attempts >= 2):
+                    raise
+                attempts += 1
+                start = self.step_count
+                done = max(getattr(self, "_last_cb_step", start) - start, 0)
+                # the runner freezes integration the step after a rebuild
+                # surfaces an overflow, so the EXECUTED count (frozen steps
+                # excluded) is the real progress — host chunk accounting
+                # overcounts by the frozen tail
+                done = min(done, getattr(self._runner, "ok_steps", done))
+                self.time_acc += done * self.dt
+                self.step_count += done
+                remaining -= done
+                self._pull_state()
+                # invalidate every geometry-derived cache; the next
+                # _ensure_runner re-measures from the evolved state
+                self._strip_geom_key = None
+                self._band_geom_key = None
+                self._mcap_key = None
+                self._backend_cache = {}
+                self._runner = None
+                self._runner_key = None
+                self.state = None
+                self.aux = None
+                if remaining <= 0:
+                    return self
+
+    def _run_once(self, nsteps: int):
         runner = self._ensure_runner()
         if self.state is None:
             if self.mesh is not None:
@@ -677,12 +719,16 @@ class Simulation:
         every = math.gcd(*cadences) if cadences else nsteps
         output_time = [0.0]
 
-        def callback(state, istep):
+        def callback(state, istep, aux=None):
             t0 = time.perf_counter()
             # the run block DONATES the previous state buffer — repoint
             # sim.state before any consumer (thermo vars, dumps, restart)
-            # dereferences the dead one
+            # dereferences the dead one; aux likewise so the overflow check
+            # sees THIS block's counters
             self.state = state
+            if aux is not None:
+                self.aux = aux
+            self._last_cb_step = istep
             self._check_overflow()
             if tw is not None and (istep % max(self.thermo_every, 1) == 0
                                    or istep in (start, last)):
@@ -704,7 +750,7 @@ class Simulation:
 
         if tw is not None:
             tw.write_header()
-        callback(self.state, start)
+        callback(self.state, start, self.aux)
 
         t0 = runner.timings["loop"]
         self.state, self.aux = runner.run(

@@ -37,6 +37,11 @@ def main(argv=None):
     run_p.add_argument("--profile", default=None, metavar="DIR",
                        help="capture a jax.profiler trace (TensorBoard/"
                             "Perfetto) of the run into DIR")
+    run_p.add_argument("--platform", default=None,
+                       choices=["cpu", "tpu"],
+                       help="pin the jax platform (overrides any "
+                            "sitecustomize/env default; 'cpu' avoids "
+                            "claiming the TPU for small runs)")
 
     bench_p = sub.add_parser("bench", help="run the throughput benchmark")
     bench_p.add_argument("--particles", type=int, default=1_000_000)
@@ -44,6 +49,12 @@ def main(argv=None):
     bench_p.add_argument("--dim", type=int, default=3)
 
     args = parser.parse_args(argv)
+
+    if args.cmd == "run" and args.platform:
+        # Must land before any jax import; env alone is overridden by a
+        # sitecustomize in some sandboxes, so set the config knob too.
+        import jax
+        jax.config.update("jax_platforms", args.platform)
 
     if args.cmd == "run":
         from tpusph.api import Simulation

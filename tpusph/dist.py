@@ -62,9 +62,12 @@ AXIS = "bricks"
 
 # per-step forward-comm field set (atom_vec_meso pack_comm: x, vest, rho, e)
 _FWD_FIELDS = ("x", "vest", "rho", "e")
-# full payload for borders/migration
+# full payload for borders/migration. rho_c/e_c: the Kahan compensation
+# ledgers MIGRATE with their particle (r2 VERDICT weak #6 — dropping them
+# reset a migrant's compensation each rebuild; carrying costs 2 extra
+# payload columns at rebuild cadence only).
 _ALL_FIELDS = ("x", "v", "vest", "f", "rho", "drho", "e", "de", "cv",
-               "rmass", "type", "tag", "mobile")
+               "rmass", "type", "tag", "mobile", "rho_c", "e_c")
 
 
 class BrickSpec(NamedTuple):
@@ -660,6 +663,7 @@ def choose_strip_geometry_dist(box_global: Box, spec: BrickSpec, dim: int,
             return None, None
         geoms.append(g)
     ts, ch = g0.ts, g0.ch
+    blk = g0.ts * g0.t_blk
     head = max(g.head for g in geoms)
     tail = max(g.tail for g in geoms)
     budget = max(g.col_cap - g.head - g.tail for g in geoms)
@@ -667,7 +671,7 @@ def choose_strip_geometry_dist(box_global: Box, spec: BrickSpec, dim: int,
     mhi = max(g.mhi for g in geoms)
     if ch * (mlo + (ts // ch) + mhi) > 640:
         return None, None
-    col_cap = -(-(head + budget + tail) // ts) * ts
+    col_cap = -(-(head + budget + tail) // blk) * blk
     geom = g0._replace(head=head, tail=tail, col_cap=col_cap,
                        mlo=mlo, mhi=mhi)
 
@@ -686,7 +690,7 @@ def choose_strip_geometry_dist(box_global: Box, spec: BrickSpec, dim: int,
     counts_max = int(np.bincount(owner, minlength=spec.ndev).max())
     required = choose_local_cap(spec, counts_max)
     while geom.n_slots < required:
-        geom = geom._replace(col_cap=geom.col_cap + geom.ts)
+        geom = geom._replace(col_cap=geom.col_cap + geom.ts * geom.t_blk)
     return geom, geom.n_slots
 
 
@@ -930,17 +934,39 @@ class DistRunner:
         box_local = backend.box_local
 
         def _one_step(istep, carry):
-            state, tables, dt, aux = carry
-            state = _integrate.initial_integrate(state, dt, box_local)
-            state, aux = backend.prepare(state, aux, istep, box_local)
-            state = _forces(state, tables, phys_spec, box_local, backend,
-                            istep=istep, aux=aux)
-            state = _integrate.final_integrate(state, dt)
-            if end_of_step is not None:
-                state, aux2 = end_of_step(state, tables, dt, istep, aux.grid,
-                                          backend, box_local)
-                aux = dataclasses.replace(aux, grid=aux2)
-            return (state, tables, dt, aux)
+            # Freeze-on-overflow (see runner.Runner._one_step): a force
+            # pass over violated comm buffers/cell caps/coverage windows
+            # drops pairs asymmetrically with unbounded magnitude, so the
+            # violating step is ABANDONED (pre-step state kept) and every
+            # later step skipped. Both predicates are psum'd so every
+            # brick takes the SAME branch — the body contains collectives
+            # and a diverging cond would wedge the mesh.
+            def _ov(aux):
+                return jax.lax.psum(jnp.sum(aux.overflow)
+                                    + jnp.sum(aux.grid.overflow), AXIS)
+
+            def body(carry):
+                state0, tables, dt, aux0, nok = carry
+                state = _integrate.initial_integrate(state0, dt, box_local)
+                state, aux = backend.prepare(state, aux0, istep, box_local)
+
+                def rest(st):
+                    st = _forces(st, tables, phys_spec, box_local, backend,
+                                 istep=istep, aux=aux)
+                    st = _integrate.final_integrate(st, dt)
+                    a = aux
+                    if end_of_step is not None:
+                        st, aux2 = end_of_step(st, tables, dt, istep,
+                                               a.grid, backend, box_local)
+                        a = dataclasses.replace(a, grid=aux2)
+                    return (st, tables, dt, a, nok + 1)
+
+                return jax.lax.cond(
+                    _ov(aux) > 0,
+                    lambda: (state0, tables, dt, aux, nok),
+                    lambda: rest(state))
+
+            return jax.lax.cond(_ov(carry[3]) > 0, lambda c: c, body, carry)
 
         state_spec = P(AXIS)
         rep = P()
@@ -948,15 +974,18 @@ class DistRunner:
         @partial(jax.jit, static_argnames=("nsteps",), donate_argnums=(0,))
         def _run_block(state, tables, dt, istep0, aux, nsteps):
             def body(state_l, tables_l, dt_l, istep0_l, aux_l):
-                carry = (state_l, tables_l, dt_l, aux_l)
+                carry = (state_l, tables_l, dt_l, aux_l,
+                         jnp.zeros((), jnp.int32))
                 carry = jax.lax.fori_loop(istep0_l, istep0_l + nsteps,
                                           _one_step, carry)
-                return carry[0], carry[3]
+                # nok is psum-synchronized across bricks (the freeze
+                # predicate is global) -> replicated out spec
+                return carry[0], carry[3], carry[4]
 
             return jax.shard_map(
                 body, mesh=mesh,
                 in_specs=(state_spec, rep, rep, rep, state_spec),
-                out_specs=(state_spec, state_spec),
+                out_specs=(state_spec, state_spec, rep),
                 check_vma=False,
             )(state, tables, dt, istep0, aux)
 
@@ -992,16 +1021,18 @@ class DistRunner:
         if every <= 0:
             every = nsteps
         done = 0
+        self.ok_steps = 0  # executed (non-frozen) steps this run
         t0 = self._time.perf_counter()
         while done < nsteps:
             chunk = min(every, nsteps - done)
-            state, aux = self._run_block(
+            state, aux, nok = self._run_block(
                 state, tables, dt, jnp.asarray(istep0 + done, jnp.int32),
                 aux, nsteps=chunk)
             done += chunk
+            self.ok_steps += int(np.asarray(nok).reshape(-1)[0])
             if callback is not None:
                 jax.block_until_ready(state.x)
-                callback(state, istep0 + done)
+                callback(state, istep0 + done, aux)
         jax.block_until_ready(state.x)
         self.timings["loop"] += self._time.perf_counter() - t0
         self.timings["steps"] += nsteps

@@ -94,6 +94,11 @@ class GridData:
     x_ref: jax.Array      # (N, 3) positions at build time (skin trigger)
     overflow: jax.Array   # (1,) i32 particles beyond cap in any cell (dropped!)
     nbuilds: jax.Array    # (1,) i32 cumulative rebuild count (bench/thermo stat)
+    # strip backend only: per-(column, neighbor, block) window-retarget
+    # offsets (ops/strip_pair window delta tables), None elsewhere. Scalar-
+    # prefetched by the strip kernels so rank windows track cross-column
+    # density differences (re-computed each rebuild).
+    delta: jax.Array | None = None
 
 
 def cell_coords(x: jax.Array, geom: GridGeometry) -> jax.Array:

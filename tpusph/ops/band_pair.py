@@ -558,7 +558,12 @@ class BandBackend:
     def _band_row(self, f, row_id: int):
         return band_row(f, row_id, self.geom)
 
-    def _mixed_flags(self, fields):
+    def _sweep_call(self, spec, sweep, tabs, i_arr, band, aux):
+        """One kernel sweep (the strip backend adds its scalar-prefetched
+        window-retarget tables here)."""
+        return self._call(spec, sweep)(tabs, i_arr, band)
+
+    def _mixed_flags(self, fields, aux=None):
         """Per-slot mixed-phase-neighborhood flag for the cgrad skip, or
         None when the backend's kernel doesn't implement the skip."""
         return None
@@ -626,7 +631,7 @@ class BandBackend:
         alive = state.alive
         fields = _state_fields(state)
         if spec.surface_tension:
-            mix = self._mixed_flags(fields)
+            mix = self._mixed_flags(fields, aux)
             if mix is not None:
                 # per-tile mixed-phase flag (RMIX row): single-phase tiles
                 # skip the cgrad sweep entirely (their cg is exactly zero)
@@ -636,7 +641,7 @@ class BandBackend:
         band = self._pack_band(fields)
 
         def run(sweep):
-            out = self._call(spec, sweep)(tabs, i_arr, band)
+            out = self._sweep_call(spec, sweep, tabs, i_arr, band, aux)
             return out.reshape(n, 8)
 
         rho = state.rho

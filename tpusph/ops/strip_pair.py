@@ -97,6 +97,9 @@ class StripGeometry(NamedTuple):
     skin: float
     ts: int = TS        # i-tile rows (sublane dim; multiple of 8)
     ch: int = CH        # window chunk rows (ch divides ts)
+    # tiles per kernel program (fixed at geometry time: the per-rebuild
+    # window-retarget tables are per BLOCK, so their shape is static)
+    t_blk: int = 2
 
     @property
     def ncols(self) -> int:
@@ -127,6 +130,14 @@ class StripGeometry(NamedTuple):
     @property
     def w(self) -> int:
         return self.ch * (self.mlo + self.stride + self.mhi)
+
+    @property
+    def nblocks(self) -> int:
+        return self.ntiles // self.t_blk
+
+    @property
+    def block_rows(self) -> int:
+        return self.t_blk * self.ts
 
     @property
     def nnbr(self) -> int:
@@ -178,7 +189,20 @@ def choose_strip_geometry(box: Box, cutoff: float, dim: int, skin: float,
         # fine — bands adjacent; the epsilon absorbs f32 cutoff rounding)
         return None
 
-    x = np.asarray(x, np.float64)
+    # Measurement positions mirror build_strips BIT-FOR-BIT: f32 wrap
+    # (Box.wrap), then f32 floor/mod column binning (column_id). The
+    # measured margins are only exact if the emulated slot map equals the
+    # runtime one — binning unwrapped f64 positions puts edge particles in
+    # different columns, which lands the emulated windows in different
+    # blocks entirely (the delta tables amplify a 1-slot shift to a whole
+    # block of window offset).
+    x32 = np.asarray(x, np.float32)
+    xw = x32.copy()
+    for a in range(x32.shape[1]):
+        if box.periodic[a]:
+            la = np.float32(lo[a])
+            xw[:, a] = la + np.mod(x32[:, a] - la, np.float32(length[a]))
+    x = xw
     SLACK = int(__import__('os').environ.get('TPUSPH_STRIP_SLACK', '4'))
     offsets = ([(ox, oy) for ox in (-1, 0, 1) for oy in (-1, 0, 1)]
                if dim == 3 else [(ox, 0) for ox in (-1, 0, 1)])
@@ -191,17 +215,23 @@ def choose_strip_geometry(box: Box, cutoff: float, dim: int, skin: float,
         plus occupancy stats for ONE plane-column count choice."""
         cols = None
         for a in plane_axes:
-            cc = np.clip(((x[:, a] - lo[a]) / (length[a] / nc[a])
-                          ).astype(np.int64), 0, nc[a] - 1)
+            cell = np.float32(length[a] / nc[a])
+            cc = np.floor((x[:, a] - np.float32(lo[a])) / cell
+                          ).astype(np.int64)
+            cc = cc % nc[a] if box.periodic[a] else np.clip(cc, 0,
+                                                            nc[a] - 1)
             cols = cc if cols is None else cols * nc[a] + cc
-        z = np.clip(x[:, col_axis] - lo[col_axis], 0.0, lz * (1 - 1e-9))
+        z = np.clip(x[:, col_axis] - np.float32(lo[col_axis]),
+                    np.float32(0.0), np.float32(lz * (1 - 1e-7)))
         ncols = int(np.prod([nc[a] for a in plane_axes]))
         counts = np.bincount(cols, minlength=ncols)
         nb2 = nt2 = 0
         if col_per:
             # seam-ghost band sizes: particles within `depth` of each face
-            nb2 = int(np.bincount(cols[z < depth], minlength=ncols).max())
-            nt2 = int(np.bincount(cols[z > lz - depth],
+            # (f32 compares, same as build_strips' band fill)
+            nb2 = int(np.bincount(cols[z < np.float32(depth)],
+                                  minlength=ncols).max())
+            nt2 = int(np.bincount(cols[z > np.float32(lz - depth)],
                                   minlength=ncols).max())
 
         # ---- exact CROSS-COLUMN rank margins (RANK space) ---------------
@@ -221,11 +251,11 @@ def choose_strip_geometry(box: Box, cutoff: float, dim: int, skin: float,
         ext_z = [kz]
         ext_rank = [rank_r]
         if col_per:
-            bot = kz < depth
+            bot = kz < np.float32(depth)
             ext_col.append(kc[bot])
             ext_z.append(kz[bot] + lz)
             ext_rank.append(counts[kc[bot]] + rank_r[bot])
-            top = kz > lz - depth
+            top = kz > np.float32(lz - depth)
             ext_col.append(kc[top])
             ext_z.append(kz[top] - lz)
             ext_rank.append(-(counts[kc[top]] - rank_r[top]))
@@ -245,34 +275,59 @@ def choose_strip_geometry(box: Box, cutoff: float, dim: int, skin: float,
         else:
             qcx, qcy = ec, np.zeros_like(ec)
         m_samp = len(ec)
-        lo_rank = np.full(m_samp, np.inf)   # lowest rank any window reaches
-        hi_rank = np.full(m_samp, -np.inf)  # highest rank
+        lo_ks, hi_ks = [], []    # PER-OFFSET reach (for delta emulation)
+        col_valid, col_nbr = [], []   # per-column neighbor ids (for delta)
+        cidx = np.arange(ncols)
+        if dim == 3:
+            ccx, ccy = cidx // nc[1], cidx % nc[1]
+        else:
+            ccx, ccy = cidx, np.zeros_like(cidx)
         for ox, oy in offsets:
             nx = qcx + ox
             ny = qcy + oy
+            cnx = ccx + ox
+            cny = ccy + oy
             if box.periodic[0]:
                 nx = nx % nc[0]
+                cnx = cnx % nc[0]
             if dim == 3 and box.periodic[1]:
                 ny = ny % nc[1]
+                cny = cny % nc[1]
             valid = (nx >= 0) & (nx < nc[0])
+            cvalid = (cnx >= 0) & (cnx < nc[0])
             if dim == 3:
                 valid &= (ny >= 0) & (ny < nc.get(1, 1))
+                cvalid &= (cny >= 0) & (cny < nc.get(1, 1))
                 ncq = nx * nc[1] + ny
+                cnq = cnx * nc[1] + cny
             else:
                 ncq = nx
+                cnq = cnx
             ncq = np.where(valid, ncq, 0)
+            col_nbr.append(np.where(cvalid, cnq, 0))
+            col_valid.append(cvalid)
             # below: first neighbor slot with z >= z_i - side
             ilo = np.searchsorted(ekeys, ncq * stride_key + (ez - side))
             in_col = ec_s[ilo] == ncq
-            lo_rank = np.minimum(
-                lo_rank, np.where(in_col & valid, er_s[ilo], np.inf))
+            lo_ks.append(np.where(in_col & valid, er_s[ilo],
+                                  np.inf).astype(np.float32))
             # above: last neighbor slot with z <= z_i + side
             ihi = np.searchsorted(ekeys, ncq * stride_key + (ez + side),
                                   side="right") - 1
             in_col = ec_s[ihi] == ncq
-            hi_rank = np.maximum(
-                hi_rank, np.where(in_col & valid, er_s[ihi], -np.inf))
-        return er, lo_rank, hi_rank, counts, nb2, nt2
+            hi_ks.append(np.where(in_col & valid, er_s[ihi],
+                                  -np.inf).astype(np.float32))
+        # per-column contiguous rank range in the extended arrays
+        colstart = np.searchsorted(ec, np.arange(ncols + 1))
+        rmin = np.where(colstart[1:] > colstart[:-1],
+                        er[np.minimum(colstart[:-1], m_samp - 1)], 0)
+        rmax = np.where(colstart[1:] > colstart[:-1],
+                        er[np.maximum(colstart[1:] - 1, 0)], 0)
+        return dict(ec=ec, ez=ez, er=er, ekeys=ekeys, ec_s=ec_s, er_s=er_s,
+                    stride_key=stride_key, lo_ks=lo_ks, hi_ks=hi_ks,
+                    col_nbr=col_nbr, col_valid=col_valid,
+                    colstart=colstart, rmin=rmin, rmax=rmax,
+                    counts=counts, nb2=nb2, nt2=nt2, ncols=ncols)
 
     # ---- (column count) x (ts, ch) enumeration ---------------------------
     # Issued lanes quantize to 128-wide vregs: every window W in (128, 256]
@@ -333,22 +388,89 @@ def choose_strip_geometry(box: Box, cutoff: float, dim: int, skin: float,
         ncols = int(np.prod([nc[a] for a in plane_axes]))
         if ncols >= (1 << 12):
             continue  # u32 sort key budget: 12 column bits + 20 z bits
-        q_rank, lo_rank, hi_rank, counts, nb2, nt2 = measure_nc(nc)
-        max_cnt = int(counts.max())
+        M = measure_nc(nc)
+        max_cnt = int(M["counts"].max())
+        nb2, nt2 = M["nb2"], M["nt2"]
+        er = M["er"]
+        ec_i = M["ec"].astype(np.int64)
+        noffs = len(offsets)
+        tb_opts = []
         for ts, ch in candidates:
+            pref = _pref_t_blk(ts)
+            for tb in {pref, max(pref // 2, 1), max(pref // 4, 1)}:
+                tb_opts.append((ts, ch, tb))
+        for ts, ch, t_blk in tb_opts:
             if ts % ch or ch > ts:
+                continue
+            B = ts * t_blk
+            # lower-bound prune: even zero margins cannot beat the best
+            # (cost model below: lanes x per-program overhead factor)
+            if best is not None and \
+                    ceil128(ch * (2 + ts // ch)) * (1 + 6.0 / B) > best[0][0]:
                 continue
             head = int(math.ceil((nt2 * headroom + 4) / ch)) * ch \
                 if col_per else 0
             tail = int(math.ceil((nb2 * headroom + 4) / ch)) * ch \
                 if col_per else 0
             col_cap = int(math.ceil(
-                (head + max_cnt * headroom + tail + ch) / ts)) * ts
-            qslot = q_rank + head
+                (head + max_cnt * headroom + tail + ch) / B)) * B
+            nblocks = col_cap // B
+            # the delta tables are scalar-prefetched into SMEM (~1MB on
+            # v5e): reject layouts whose table cannot fit
+            if ncols * len(offsets) * nblocks * 4 > 512 * 1024:
+                continue
+            qslot = er + head
             tfloor = np.floor(qslot / ts) * ts
-            need_lo = max(0.0, float(np.max(tfloor - (lo_rank + head))))
-            need_hi = max(0.0, float(np.max((hi_rank + head)
-                                            - (tfloor + ts - 1))))
+
+            # ---- emulate the per-rebuild delta tables for THIS layout ----
+            # (mirrors build_strips: z at the clipped block-center slot,
+            # neighbor rank at that z, rounded to blocks). Margins then
+            # cover only the residual: local fluctuation + B/2 rounding.
+            b_idx = np.arange(nblocks)
+            rc = b_idx[None, :] * B + B // 2 - head          # rank space
+            rc_c = np.clip(rc, M["rmin"][:, None], M["rmax"][:, None])
+            pos = M["colstart"][:-1][:, None] + (rc_c - M["rmin"][:, None])
+            pos = np.clip(pos, 0, len(M["ez"]) - 1).astype(np.int64)
+            zc = M["ez"][pos]                                # (ncols, nb)
+            blk_of = np.clip(((qslot) // B).astype(np.int64), 0, nblocks - 1)
+            need_lo = 0.0
+            need_hi = 0.0
+            for k in range(noffs):
+                ncq = M["col_nbr"][k][:, None]
+                ilo = np.searchsorted(M["ekeys"],
+                                      ncq * M["stride_key"] + zc)
+                # clamp into the neighbor column's entry range: queries past
+                # its z-extent must resolve to its edge rank, not fall out
+                # (the runtime delta computation clamps the same way via
+                # the +/-big slot fills)
+                cs_n = M["colstart"][:-1][ncq[:, 0]][:, None]
+                ce_n = M["colstart"][1:][ncq[:, 0]][:, None]
+                ok = (ce_n > cs_n) & M["col_valid"][k][:, None]
+                ilo = np.clip(ilo, cs_n, np.maximum(ce_n - 1, cs_n))
+                r_nc = np.where(ok, M["er"][np.clip(ilo, 0, len(M["er"])
+                                                    - 1)], rc_c)
+                frac = (r_nc - rc_c) / B
+                d = np.round(frac)
+                # runtime rounding can flip near half-block boundaries
+                # (f32 z vs this f64 emulation; z-quantization sort ties):
+                # cover BOTH roundings for near-boundary blocks
+                risky = np.abs(frac - np.floor(frac) - 0.5) < 0.1
+                d_up = np.where(risky, np.floor(frac) + 1, d)
+                d_dn = np.where(risky, np.floor(frac), d)
+
+                def clipped(dv):
+                    dv = np.clip(dv, -b_idx[None, :],
+                                 nblocks - 1 - b_idx[None, :])
+                    return np.where(M["col_valid"][k][:, None], dv, 0.0)
+
+                ds_up = clipped(d_up)[ec_i, blk_of] * B
+                ds_dn = clipped(d_dn)[ec_i, blk_of] * B
+                need_lo = max(need_lo, float(np.max(
+                    tfloor + ds_up - (M["lo_ks"][k] + head))))
+                need_hi = max(need_hi, float(np.max(
+                    (M["hi_ks"][k] + head) - (tfloor + ts - 1) - ds_dn)))
+            need_lo = max(need_lo, 0.0)
+            need_hi = max(need_hi, 0.0)
 
             def chunks(need):
                 nat = max(int(math.ceil(need / ch)), 1)
@@ -362,14 +484,17 @@ def choose_strip_geometry(box: Box, cutoff: float, dim: int, skin: float,
             w = ch * (mlo + ts // ch + mhi)
             if w > 640:
                 continue
-            cost = ceil128(w)
-            key = (cost, -ncols, -ts, -ch)
+            # cost: issued lanes x a measured per-program overhead factor
+            # (r2 data: 64-row programs ran ~8% slower than 128-row ones;
+            # smaller blocks buy finer delta granularity -> tighter margins)
+            cost = ceil128(w) * (1 + 6.0 / B)
+            key = (cost, -ncols, -B, -ts, -ch)
             if best is None or key < best[0]:
                 best = (key, dict(nc), ts, ch, head, tail, col_cap,
-                        mlo, mhi)
+                        mlo, mhi, t_blk)
     if best is None:
         return None  # density inhomogeneity too strong: band/column win
-    _, nc, ts, ch, head, tail, col_cap, mlo, mhi = best
+    _, nc, ts, ch, head, tail, col_cap, mlo, mhi, t_blk = best
 
     if dim == 3:
         ncx, ncy = nc[0], nc[1]
@@ -383,7 +508,8 @@ def choose_strip_geometry(box: Box, cutoff: float, dim: int, skin: float,
         lengths=tuple(float(v) for v in length),
         origin=tuple(float(v) for v in lo),
         cell_xy=tuple(float(v) for v in cell_xy),
-        margin_dist=float(side), skin=float(skin), ts=int(ts), ch=int(ch))
+        margin_dist=float(side), skin=float(skin), ts=int(ts), ch=int(ch),
+        t_blk=int(t_blk))
 
 
 # --------------------------------------------------------------------------
@@ -480,8 +606,10 @@ def build_strips(state: ParticleState, geom: StripGeometry, box: Box,
     col_u = jnp.where(live, col, ncols).astype(jnp.uint32)
     key = col_u * jnp.uint32(1 << 20) + jnp.where(live, zq, 0)
 
+    # rho_c/e_c: the Kahan compensation ledgers ride the sort (zeroing them
+    # at every rebuild re-seeds the fp32 drift walk — r2 VERDICT weak #6)
     payload_names = ("rho", "e", "cv", "rmass", "type", "tag",
-                     "owned", "mobile")
+                     "owned", "mobile", "rho_c", "e_c")
     vec_names = ("x", "v", "vest")
     pay = []
     for nm in vec_names:
@@ -580,7 +708,7 @@ def build_strips(state: ParticleState, geom: StripGeometry, box: Box,
     zeros3 = jnp.zeros((n, 3), jnp.float32)
     zn = jnp.zeros(n, jnp.float32)
     new_state = dataclasses.replace(
-        state, f=zeros3, drho=zn, de=zn, vir=zn, rho_c=zn, e_c=zn, **fieldmap)
+        state, f=zeros3, drho=zn, de=zn, vir=zn, **fieldmap)
 
     # ---- seam-ghost bands: fixed-size gather/scatter ---------------------
     seam = (jnp.zeros(0, jnp.int32), jnp.zeros(0, jnp.int32),
@@ -633,7 +761,8 @@ def build_strips(state: ParticleState, geom: StripGeometry, box: Box,
             a = getattr(new_state, nm)
             a = jnp.stack([ghost_copy(a[:, i]) for i in range(3)], axis=1)
             upd[nm] = a
-        for nm in ("rho", "e", "cv", "rmass", "type", "tag", "mobile"):
+        for nm in ("rho", "e", "cv", "rmass", "type", "tag", "mobile",
+                   "rho_c", "e_c"):
             upd[nm] = ghost_copy(getattr(new_state, nm))
         owned = new_state.owned.at[dest_w].set(
             jnp.zeros(k, bool), mode="drop")
@@ -641,11 +770,52 @@ def build_strips(state: ParticleState, geom: StripGeometry, box: Box,
         new_state = dataclasses.replace(new_state, **upd)
         seam = (src, dest_w.astype(jnp.int32), shift)
 
-    # --- window coverage check (the strip analog of the cell-cap bound) ---
+    # ---- window-retarget tables (delta) ---------------------------------
+    # Rank windows are indexed by the HOME tile; any cross-column density
+    # difference (phase contrast, thermal noise, interface compression)
+    # makes the same rank sit at a different z in the neighbor column —
+    # growing linearly along the column for systematic differences. The
+    # fix: per (column, neighbor, block) BLOCK offsets, recomputed at every
+    # rebuild, scalar-prefetched by the kernels' window index maps, so each
+    # fetched window is re-centered on the home block's z range. Margins
+    # then only cover local fluctuation + the block-granularity rounding.
     zs = new_state.x[:, ca] - geom.origin[ca]
     alive_slot = new_state.alive
     big = jnp.float32(8.0 * lz + 8.0)
     stride = geom.stride
+    B = geom.block_rows
+    nblocks = geom.nblocks
+    assert geom.ntiles % geom.t_blk == 0, (geom.ntiles, geom.t_blk)
+    slot_pos = jnp.arange(n, dtype=jnp.int32) % cap
+    # searchsorted-safe per-column z: live rows ascend by construction;
+    # dead slots before the head band sit below everything, tail dead above
+    zfill = jnp.where(slot_pos < head, -big, big)
+    zcol = jnp.where(alive_slot, zs, zfill).reshape(ncols, cap)
+    # z at the block-center slot, clipped into each column's live range —
+    # the SAME center definition the geometry chooser emulates, so the
+    # measured margins match the runtime offsets
+    alive2 = alive_slot.reshape(ncols, cap)
+    lo_live = jnp.argmax(alive2, axis=1)
+    hi_live = cap - 1 - jnp.argmax(alive2[:, ::-1], axis=1)
+    center_slot = jnp.arange(nblocks, dtype=jnp.int32) * B + B // 2
+    cs = jnp.clip(center_slot[None, :], lo_live[:, None], hi_live[:, None])
+    zc = jnp.take_along_axis(zcol, cs, axis=1)
+    b_idx = jnp.arange(nblocks, dtype=jnp.int32)
+    deltas = []
+    for ox, oy in _neighbor_offsets(geom):
+        perm, valid = _plane_neighbor_perm(geom, ox, oy)
+        r_nc = jax.vmap(jnp.searchsorted)(zcol[jnp.asarray(perm)], zc)
+        # delta is relative to the CLIPPED center slot (the actual home
+        # slot of the queried z): the chooser emulates (r_nc - rc_c)/B in
+        # rank space, which is exactly (r_nc - cs)/B shifted by head —
+        # subtracting the unclipped center diverges on partially-filled
+        # blocks by (center - cs)/B, far beyond the emulation's risky band
+        d = jnp.round((r_nc - cs).astype(jnp.float32) / B).astype(jnp.int32)
+        d = jnp.clip(d, -b_idx[None, :], nblocks - 1 - b_idx[None, :])
+        deltas.append(jnp.where(jnp.asarray(valid)[:, None], d, 0))
+    delta = jnp.stack(deltas, axis=1)    # (ncols, nnbr, nblocks)
+
+    # --- window coverage check (the strip analog of the cell-cap bound) ---
     zf = jnp.where(alive_slot, zs, big).reshape(ncols, geom.n32, geom.ch)
     zl = jnp.where(alive_slot, zs, -big).reshape(ncols, geom.n32, geom.ch)
     zfirst = jnp.min(zf, axis=2)     # (ncols, n32)
@@ -653,31 +823,35 @@ def build_strips(state: ParticleState, geom: StripGeometry, box: Box,
     t_idx = jnp.arange(geom.ntiles)
     ce = geom.margin_dist
     n32 = geom.n32
+    bpc = B // geom.ch               # chunks per block (the delta unit)
 
-    def chunk_at(arr, off, fill):
-        ci = stride * t_idx + off
+    def chunk_at(arr_p, off, fill, dchunks):
+        """arr_p (ncols, n32) permuted; dchunks (ncols, ntiles) the
+        delta shift in chunks for this neighbor."""
+        ci = stride * t_idx[None, :] + off + dchunks
         oob = (ci < 0) | (ci >= n32)
-        v = arr[:, jnp.clip(ci, 0, n32 - 1)]
-        return jnp.where(oob[None, :], fill, v)
+        v = jnp.take_along_axis(arr_p, jnp.clip(ci, 0, n32 - 1), axis=1)
+        return jnp.where(oob, fill, v)
 
-    # the check is CROSS-COLUMN: a tile's window (same rank interval in
-    # every neighbor column) must cover [z_i - ce, z_i + ce] in each
-    # neighbor's own slot space. Running max-below / min-above catch alive
-    # rows hiding past dead zones (short columns). z-sorted columns make
-    # the tile's z extremes its first chunk's min / last chunk's max.
+    # the check is CROSS-COLUMN: a tile's delta-shifted window must cover
+    # [z_i - ce, z_i + ce] in the neighbor's own slot space. Running
+    # max-below / min-above catch alive rows hiding past dead zones
+    # (short columns). z-sorted columns make the tile's z extremes its
+    # first chunk's min / last chunk's max.
     zmax_below = jax.lax.cummax(zlast, axis=1)
     zmin_above = jnp.flip(jax.lax.cummin(jnp.flip(zfirst, 1), axis=1), 1)
     tile_alive = zfirst[:, ::stride] < big * 0.5
     zf_self = zfirst[:, ::stride]
     zl_self = zlast[:, stride - 1::stride]
     bad = jnp.zeros(zf_self.shape, bool)
-    for ox, oy in _neighbor_offsets(geom):
+    for kk, (ox, oy) in enumerate(_neighbor_offsets(geom)):
         perm, valid = _plane_neighbor_perm(geom, ox, oy)
         vmask = jnp.asarray(valid)[:, None]
+        dch = jnp.repeat(delta[:, kk, :] * bpc, geom.t_blk, axis=1)
         below_bad = chunk_at(zmax_below[jnp.asarray(perm)],
-                             -geom.mlo - 1, -big) > (zf_self - ce)
+                             -geom.mlo - 1, -big, dch) > (zf_self - ce)
         above_bad = chunk_at(zmin_above[jnp.asarray(perm)],
-                             stride + geom.mhi, big) < (zl_self + ce)
+                             stride + geom.mhi, big, dch) < (zl_self + ce)
         bad = bad | (vmask & (below_bad | above_bad))
     viol = jnp.sum((tile_alive & bad).astype(jnp.int32))
     overflow = (overflow + viol)[None]
@@ -692,7 +866,8 @@ def build_strips(state: ParticleState, geom: StripGeometry, box: Box,
         rank=rows % cap,
         x_ref=new_state.x,
         overflow=overflow,
-        nbuilds=nbuilds + 1)
+        nbuilds=nbuilds + 1,
+        delta=delta)
     ret = (new_state, data)
     if extra_def is not None:
         ret = ret + (extra_out,)
@@ -747,17 +922,30 @@ def window_row(f, row_id: int, geom: StripGeometry) -> jax.Array:
 # the kernel
 # --------------------------------------------------------------------------
 
-def _default_t_blk(geom: StripGeometry) -> int:
+def _pref_t_blk(ts: int) -> int:
     """Tiles per program: amortizes per-program overhead (grid sequencing,
-    DMA issue) over ~128 i-rows regardless of tile size; must divide
-    ntiles. Override with TPUSPH_STRIP_TBLK. NEVER unroll the body —
-    a t_blk-times unrolled body explodes Mosaic compile times; the kernels
-    loop with lax.fori_loop instead (CLAUDE.md invariant)."""
+    DMA issue) over ~128 i-rows regardless of tile size. The chooser rounds
+    col_cap so this divides ntiles. Override with TPUSPH_STRIP_TBLK. NEVER
+    unroll the body — a t_blk-times unrolled body explodes Mosaic compile
+    times; the kernels loop with lax.fori_loop instead (CLAUDE.md)."""
     env = int(__import__('os').environ.get('TPUSPH_STRIP_TBLK', '0'))
     if env:
         return env
-    pref = max(128 // geom.ts, 1)
-    return next(t for t in range(pref, 0, -1) if geom.ntiles % t == 0)
+    return max(128 // ts, 1)
+
+
+def _delta_index_map(geom: StripGeometry, ox: int, oy: int, kk: int):
+    """Window block index map with the per-(column, neighbor, block)
+    retarget offset read from the scalar-prefetched delta table."""
+    base = _band_index_map(geom, ox, oy)
+    nblocks = geom.nblocks
+
+    def imap(c, b, delta_ref):
+        col, _, z0, z1 = base(c, b)
+        bb = jnp.clip(b + delta_ref[c, kk, b], 0, nblocks - 1)
+        return (col, bb, z0, z1)
+
+    return imap
 
 
 def make_strip_kernel(geom: StripGeometry, spec: PhysicsSpec, ntypes: int,
@@ -771,9 +959,10 @@ def make_strip_kernel(geom: StripGeometry, spec: PhysicsSpec, ntypes: int,
     T1 = ntypes + 1
     offs = _neighbor_offsets(geom)
     n_out = tile_physics.sweep_n_out(sweep, spec)
-    t_blk = _default_t_blk(geom)
+    t_blk = geom.t_blk
 
-    def kernel(scal_ref, tabs_ref, i_ref, *refs):
+    def kernel(delta_ref, scal_ref, tabs_ref, i_ref, *refs):
+        del delta_ref  # consumed by the window index maps
         out_ref = refs[-1]
         win_refs = refs[:-1]
         cidx = pl.program_id(0)
@@ -830,25 +1019,27 @@ def make_strip_kernel(geom: StripGeometry, spec: PhysicsSpec, ntypes: int,
     in_specs = [pl.BlockSpec(memory_space=pltpu.SMEM),
                 pl.BlockSpec(memory_space=pltpu.VMEM),
                 pl.BlockSpec((1, t_blk, ts, F_ROWS),
-                             index_map=lambda c, t: (c, t, 0, 0),
+                             index_map=lambda c, t, d: (c, t, 0, 0),
                              memory_space=pltpu.VMEM)]
-    for ox, oy in offs:
+    for kk, (ox, oy) in enumerate(offs):
         in_specs.append(
             pl.BlockSpec((1, t_blk, F_ROWS, W),
-                         index_map=_band_index_map(geom, ox, oy),
+                         index_map=_delta_index_map(geom, ox, oy, kk),
                          memory_space=pltpu.VMEM))
     out_spec = pl.BlockSpec((1, t_blk, ts, 8),
-                            index_map=lambda c, t: (c, t, 0, 0),
+                            index_map=lambda c, t, d: (c, t, 0, 0),
                             memory_space=pltpu.VMEM)
 
-    def call(tabs, i_arr, win):
+    def call(tabs, i_arr, win, delta):
         scal, tab_mat = tabs
-        args = [scal, tab_mat, i_arr] + [win] * len(offs)
+        args = [delta, scal, tab_mat, i_arr] + [win] * len(offs)
         return pl.pallas_call(
             kernel,
-            grid=(geom.ncols, geom.ntiles // t_blk),
-            in_specs=in_specs,
-            out_specs=out_spec,
+            grid_spec=pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=1,
+                grid=(geom.ncols, geom.nblocks),
+                in_specs=in_specs,
+                out_specs=out_spec),
             out_shape=jax.ShapeDtypeStruct(
                 (geom.ncols, geom.ntiles, ts, 8), jnp.float32),
             compiler_params=pltpu.CompilerParams(
@@ -874,9 +1065,10 @@ def make_vapor_kernel(geom: StripGeometry, vtype: int, cut: float,
     offs = _neighbor_offsets(geom)
     BIG = 1e30  # plain float: a jnp scalar here would be a captured const
     assert cut <= geom.margin_dist + 1e-9, (cut, geom.margin_dist)
-    t_blk = _default_t_blk(geom)
+    t_blk = geom.t_blk
 
-    def kernel(i_ref, *refs):
+    def kernel(delta_ref, i_ref, *refs):
+        del delta_ref  # consumed by the window index maps
         out_ref = refs[-1]
         win_refs = refs[:-1]
         cidx = pl.program_id(0)
@@ -922,24 +1114,26 @@ def make_vapor_kernel(geom: StripGeometry, vtype: int, cut: float,
             jax.lax.fori_loop(0, t_blk, tile_body, 0)
 
     in_specs = [pl.BlockSpec((1, t_blk, ts, F_ROWS),
-                             index_map=lambda c, t: (c, t, 0, 0),
+                             index_map=lambda c, t, d: (c, t, 0, 0),
                              memory_space=pltpu.VMEM)]
-    for ox, oy in offs:
+    for kk, (ox, oy) in enumerate(offs):
         in_specs.append(
             pl.BlockSpec((1, t_blk, F_ROWS, W),
-                         index_map=_band_index_map(geom, ox, oy),
+                         index_map=_delta_index_map(geom, ox, oy, kk),
                          memory_space=pltpu.VMEM))
     out_spec = pl.BlockSpec((1, t_blk, ts, 8),
-                            index_map=lambda c, t: (c, t, 0, 0),
+                            index_map=lambda c, t, d: (c, t, 0, 0),
                             memory_space=pltpu.VMEM)
 
-    def call(i_arr, win):
-        args = [i_arr] + [win] * len(offs)
+    def call(i_arr, win, delta):
+        args = [delta, i_arr] + [win] * len(offs)
         return pl.pallas_call(
             kernel,
-            grid=(geom.ncols, geom.ntiles // t_blk),
-            in_specs=in_specs,
-            out_specs=out_spec,
+            grid_spec=pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=1,
+                grid=(geom.ncols, geom.nblocks),
+                in_specs=in_specs,
+                out_specs=out_spec),
             out_shape=jax.ShapeDtypeStruct(
                 (geom.ncols, geom.ntiles, ts, 8), jnp.float32),
             compiler_params=pltpu.CompilerParams(
@@ -977,34 +1171,41 @@ class StripBackend(BandBackend):
     def _band_row(self, f, row_id: int):
         return window_row(f, row_id, self.geom)
 
-    def _mixed_flags(self, fields):
+    def _sweep_call(self, spec, sweep, tabs, i_arr, band, aux):
+        return self._call(spec, sweep)(tabs, i_arr, band, aux.delta)
+
+    def _mixed_flags(self, fields, aux=None):
         """(n_slots,) f32: 1 where the tile's FULL candidate region (its
-        rank windows across the 9 neighbor columns) contains more than one
-        phase — exactly the tiles whose color gradients can be nonzero."""
+        delta-shifted rank windows across the 9 neighbor columns) contains
+        more than one phase — exactly the tiles whose color gradients can
+        be nonzero."""
         geom = self.geom
         stride = geom.stride
+        bpc = geom.block_rows // geom.ch
         ty = fields["type_f"].reshape(geom.ncols, geom.n32, geom.ch)
         tmax_c = jnp.max(ty, axis=2)                     # (ncols, n32)
         tmin_c = jnp.min(jnp.where(ty > 0, ty, 99.0), axis=2)
         t_idx = jnp.arange(geom.ntiles)
 
-        def win_reduce(arr, red, fill):
+        def win_reduce(arr_p, red, fill, dch):
             outs = []
             for cix in range(-geom.mlo, stride + geom.mhi):
-                ci = stride * t_idx + cix
+                ci = stride * t_idx[None, :] + cix + dch
                 oob = (ci < 0) | (ci >= geom.n32)
-                v = arr[:, jnp.clip(ci, 0, geom.n32 - 1)]
-                outs.append(jnp.where(oob[None, :], fill, v))
+                v = jnp.take_along_axis(
+                    arr_p, jnp.clip(ci, 0, geom.n32 - 1), axis=1)
+                outs.append(jnp.where(oob, fill, v))
             return red(jnp.stack(outs), axis=0)
 
-        wmax = win_reduce(tmax_c, jnp.max, 0.0)          # (ncols, ntiles)
-        wmin = win_reduce(tmin_c, jnp.min, 99.0)
         maxs, mins = [], []
-        for ox, oy in _neighbor_offsets(geom):
+        for kk, (ox, oy) in enumerate(_neighbor_offsets(geom)):
             perm, valid = _plane_neighbor_perm(geom, ox, oy)
             vm = jnp.asarray(valid)[:, None]
-            maxs.append(jnp.where(vm, wmax[jnp.asarray(perm)], 0.0))
-            mins.append(jnp.where(vm, wmin[jnp.asarray(perm)], 99.0))
+            dch = jnp.repeat(aux.delta[:, kk, :] * bpc, geom.t_blk, axis=1)
+            wmax = win_reduce(tmax_c[jnp.asarray(perm)], jnp.max, 0.0, dch)
+            wmin = win_reduce(tmin_c[jnp.asarray(perm)], jnp.min, 99.0, dch)
+            maxs.append(jnp.where(vm, wmax, 0.0))
+            mins.append(jnp.where(vm, wmin, 99.0))
         gmax = jnp.max(jnp.stack(maxs), axis=0)
         gmin = jnp.min(jnp.stack(mins), axis=0)
         mixed = (gmax > gmin + 0.5) & (gmin < 90.0)
@@ -1029,7 +1230,7 @@ class StripBackend(BandBackend):
         fields["slot"] = jnp.arange(n, dtype=jnp.float32)
         i_arr = self._pack_i(fields)
         win = self._pack_band(fields)
-        out = self._calls[key](i_arr, win).reshape(n, 8)
+        out = self._calls[key](i_arr, win, aux.delta).reshape(n, 8)
         count = out[:, ORHO].astype(jnp.int32)
         nearest = jnp.clip(out[:, OCGX], 0, n - 1).astype(jnp.int32)
         rsq = jnp.where(count > 0, out[:, OCGY], jnp.inf)

@@ -45,28 +45,63 @@ class Runner:
         prepare = getattr(backend, "prepare", None)
 
         def _one_step(istep, carry):
-            state, tables, dt, aux = carry
-            state = integrate.initial_integrate(state, dt, box_)
-            if prepare is not None:
-                # Neighbor::decide + Domain::pbc + rebuild (SURVEY §3.2)
-                state, aux = prepare(state, aux, istep, box_)
-            state = compute_forces(state, tables, spec_, box_, backend_,
-                                   istep=istep, aux=aux)
-            state = integrate.final_integrate(state, dt)
-            if eos_hook is not None:
-                # Modify::end_of_step slot (fix phase_change — SURVEY §3.5)
-                state, aux = eos_hook(state, tables, dt, istep, aux,
-                                      backend_, box_)
-            return (state, tables, dt, aux)
+            # Freeze-on-overflow. Violated windows/cells drop pairs
+            # ASYMMETRICALLY, and the violation magnitude at detection is
+            # unbounded (the rebuild that detects it reveals density drift
+            # accumulated since the previous build — measured: ONE force
+            # pass on a just-violated strip geometry injected |dP| ~ 0.5
+            # into a conserved-momentum system). So the violating step's
+            # force pass must never run: detect right after prepare and
+            # abandon the step, returning the PRE-step state with the
+            # counter-carrying aux (the host check at the block boundary
+            # aborts or re-chooses the geometry; the aux/state layout
+            # mismatch of the frozen pair is never integrated because the
+            # outer latch skips every later step). A later clean rebuild
+            # resetting the per-build counter can therefore never mask a
+            # violation from the host.
+            def body(carry):
+                state0, tables, dt, aux0, nok = carry
+                state = integrate.initial_integrate(state0, dt, box_)
+                if prepare is not None:
+                    # Neighbor::decide + Domain::pbc + rebuild (SURVEY §3.2)
+                    state, aux = prepare(state, aux0, istep, box_)
+                else:
+                    aux = aux0
+
+                def rest(st):
+                    st = compute_forces(st, tables, spec_, box_, backend_,
+                                        istep=istep, aux=aux)
+                    st = integrate.final_integrate(st, dt)
+                    a = aux
+                    if eos_hook is not None:
+                        # Modify::end_of_step (fix phase_change — SURVEY
+                        # §3.5)
+                        st, a = eos_hook(st, tables, dt, istep, a,
+                                         backend_, box_)
+                    return (st, tables, dt, a, nok + 1)
+
+                ov = getattr(aux, "overflow", None)
+                if ov is None:
+                    return rest(state)
+                return jax.lax.cond(
+                    jnp.sum(ov) > 0,
+                    lambda: (state0, tables, dt, aux, nok),
+                    lambda: rest(state))
+
+            aux = carry[3]
+            ov = getattr(aux, "overflow", None)
+            if ov is None:
+                return body(carry)
+            return jax.lax.cond(jnp.sum(ov) > 0, lambda c: c, body, carry)
 
         @partial(jax.jit, static_argnames=("nsteps",), donate_argnums=(0,))
         def _run_block(state, tables, dt, istep0, aux, nsteps):
-            carry = (state, tables, dt, aux)
+            carry = (state, tables, dt, aux, jnp.zeros((), jnp.int32))
             carry = jax.lax.fori_loop(
                 istep0, istep0 + nsteps,
                 _one_step, carry)
-            state, tables, dt, aux = carry
-            return state, aux
+            state, tables, dt, aux, nok = carry
+            return state, aux, nok
 
         @jax.jit
         def _setup_forces(state, tables, istep, aux):
@@ -92,16 +127,24 @@ class Runner:
         if every <= 0:
             every = nsteps
         done = 0
+        self.ok_steps = 0  # executed (non-frozen) steps this run
         t0 = time.perf_counter()
         while done < nsteps:
             chunk = min(every, nsteps - done)
-            state, aux = self._run_block(state, tables, dt,
-                                         jnp.asarray(istep0 + done, jnp.int32),
-                                         aux, nsteps=chunk)
+            state, aux, nok = self._run_block(
+                state, tables, dt,
+                jnp.asarray(istep0 + done, jnp.int32),
+                aux, nsteps=chunk)
             done += chunk
+            # one tiny scalar transfer per chunk (the callback path blocks
+            # on state.x anyway); updated BEFORE the callback so an
+            # aborting overflow check reads the true executed count
+            self.ok_steps += int(nok)
             if callback is not None:
                 jax.block_until_ready(state.x)
-                callback(state, istep0 + done)
+                # pass the CURRENT aux so the overflow check sees this
+                # block's counters, not the previous run's
+                callback(state, istep0 + done, aux)
         jax.block_until_ready(state.x)
         self.timings["loop"] += time.perf_counter() - t0
         self.timings["steps"] += nsteps

@@ -103,8 +103,9 @@ class ParticleState:
     # Kahan compensation for the rho/e half-step ledgers (SURVEY §7.2: the
     # 1e-4 gate): fp32 `rho += dtf*drho` rounds at ulp(rho) ~ 1.2e-4 per
     # add — a random walk past 1e-3 relative over 5k steps. The two-sum
-    # keeps the lost low bits. Reset (not carried) at rebuild/migration:
-    # the dropped correction is bounded by one ulp.
+    # keeps the lost low bits. Carried through sorts, migration and ghost
+    # packing (r3); a reset would be bounded by one ulp but re-seeds the
+    # drift walk at every rebuild.
     rho_c: jax.Array   # (N,) f32
     e_c: jax.Array     # (N,) f32
 
