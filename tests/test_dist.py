@@ -360,3 +360,43 @@ thermo         0
     dx -= L * np.round(dx / L)
     np.testing.assert_allclose(dx, 0.0, atol=5e-4)
     np.testing.assert_allclose(sim1.get("rho"), sim2.get("rho"), rtol=2e-4)
+
+
+def test_migration_preserves_kahan_compensation():
+    """r2 VERDICT weak #6: the Kahan rho/e compensation ledgers (rho_c/e_c)
+    must ride migration/border packing — dropping them at every migration
+    resets the accumulated low-order bits the 1e-4 accuracy gate depends
+    on. White-box round-trip through the actual pack/merge payload path."""
+    import dataclasses
+    import jax.numpy as jnp
+    from tpusph.dist import _pack_rows, _merge_payload, _ALL_FIELDS
+    from tpusph.state import ParticleState
+
+    assert "rho_c" in _ALL_FIELDS and "e_c" in _ALL_FIELDS
+
+    n = 16
+    src = ParticleState.from_arrays(
+        np.arange(3 * n, dtype=np.float32).reshape(n, 3) * 0.1,
+        np.ones(n, np.int64), rmass=np.ones(n, np.float32),
+        rho=np.full(n, 1000.0, np.float32), e=np.ones(n, np.float32),
+        capacity=n)
+    rho_c = (np.arange(n, dtype=np.float32) + 1.0) * 1e-6
+    e_c = -(np.arange(n, dtype=np.float32) + 1.0) * 1e-7
+    src = dataclasses.replace(src, rho_c=jnp.asarray(rho_c),
+                              e_c=jnp.asarray(e_c))
+
+    rows = jnp.asarray([3, 7, 11], jnp.int32)
+    payload = _pack_rows(src, rows, jnp.asarray(3))
+
+    dst = ParticleState.zeros(8)  # all-dead pool
+    dst, overflow = _merge_payload(dst, payload, jnp.asarray(3),
+                                   owned_val=True)
+    assert int(overflow[0]) == 0
+    got = jax.device_get(dst)
+    alive = np.asarray(got.alive)
+    assert alive.sum() == 3
+    order = np.argsort(np.asarray(got.tag)[alive])
+    np.testing.assert_array_equal(
+        np.asarray(got.rho_c)[alive][order], rho_c[[3, 7, 11]])
+    np.testing.assert_array_equal(
+        np.asarray(got.e_c)[alive][order], e_c[[3, 7, 11]])

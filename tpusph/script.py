@@ -441,17 +441,53 @@ class Interpreter:
                 if tok != "NULL":
                     v[:, d] = _num(tok)
         elif mode == "create":
-            # Maxwell-Boltzmann at temperature T (velocity.cpp create):
-            # sigma^2 = kB T / m per component (kB = 1 in lj/si-raw units),
-            # momentum-zeroed like LAMMPS's default `momentum yes`
+            # velocity.cpp create, loop-all semantics: ONE RanMars stream
+            # (random_mars.cpp — seed-level parity, tpusph/rng.py) walked
+            # in tag order over ALL atoms; group members take the draws,
+            # non-members burn them. Default dist uniform (vd = U-0.5),
+            # `dist gaussian` supported; per-atom vscale = sqrt(T/m)
+            # (kB = 1 raw units), then `mom yes` zeroing and an exact
+            # rescale of the group temperature to the request.
             temp = _num(a[2])
             seed = int(a[3]) if len(a) > 3 else 12345
-            rng = np.random.default_rng(seed)
-            m = self.sim._staged["rmass"][mask]
-            v = rng.normal(0.0, 1.0, size=(n, 3)).astype(np.float32)
-            v *= np.sqrt(temp / np.maximum(m, 1e-30))[:, None]
+            dist = "uniform"
+            i = 4
+            while i < len(a):
+                if a[i] == "dist" and i + 1 < len(a):
+                    dist = a[i + 1]
+                i += 2
+            if dist not in ("uniform", "gaussian"):
+                raise ScriptError(
+                    f"velocity create dist '{dist}' not supported "
+                    "(uniform, gaussian)")
+            from tpusph.rng import RanMars
+            rng = RanMars(seed)
+            dim = self.sim.spec.dim
+            nall = self.sim.natoms
+            # draws in tag order over all atoms (2 per atom in 2D)
+            if dist == "gaussian":
+                draws = rng.gaussian_batch(nall * dim).reshape(nall, dim)
+            else:
+                draws = rng.uniform_batch(nall * dim).reshape(nall, dim) - 0.5
+            tags = self.sim._staged["tag"]
+            order = np.argsort(tags, kind="stable")  # tag walk order
+            vall = np.zeros((nall, 3), np.float32)
+            vall[order, :dim] = draws
+            m_all = self.sim._staged["rmass"]
+            vall *= np.sqrt(temp / np.maximum(m_all, 1e-30))[:, None]
+            v = vall[mask]
+            m = m_all[mask]
+            # momentum zeroing (default mom yes) on the group
             v -= (v * m[:, None]).sum(0) / max(m.sum(), 1e-30)
-            if self.sim.spec.dim == 2:
+            # exact-T rescale: reference computes the generated group
+            # temperature (dof = dim*(N-1) after momentum removal) and
+            # scales so the realized temperature equals the request
+            ke2 = float((m[:, None] * v * v).sum())
+            dof = max(dim * (n - 1), 1)
+            t_now = ke2 / dof
+            if t_now > 0.0:
+                v *= np.sqrt(temp / t_now)
+            if dim == 2:
                 v[:, 2] = 0.0
         else:
             raise ScriptError("velocity modes supported: set, create")
