@@ -101,6 +101,7 @@ class Simulation:
         self._runner = None
         self.state = None
         self.aux = None
+        self.local_cap = None
 
     def add_end_of_step_hook(self, name: str, hook: Callable):
         """Register a named Modify::end_of_step fix hook; hooks run in
@@ -269,6 +270,7 @@ class Simulation:
             s["x"], s["type"], rmass=s["rmass"], v=s["v"], rho=s["rho"],
             e=s["e"], cv=s["cv"], tag=s["tag"], mobile=s["mobile"],
             capacity=cap)
+        self.local_cap = None  # single-device state: positions are global
 
     def _host_x(self, dev) -> np.ndarray:
         """Positions of the device-fetched state in GLOBAL coordinates.
@@ -276,7 +278,11 @@ class Simulation:
         (dist.py design note); every host-side consumer (dump, restart,
         write_data, _pull_state) must go through this."""
         x = np.asarray(dev.x)
-        if self.mesh is not None and self.brick_spec is not None:
+        # local_cap is set by partition_state and ONLY then are positions
+        # brick-local; a state from _build_state (e.g. get() before the
+        # first dist run) is global even when a mesh/brick_spec exists
+        if (self.mesh is not None and self.brick_spec is not None
+                and self.local_cap is not None):
             from tpusph.dist import globalize_positions
             x = globalize_positions(x, self.brick_spec, self.local_cap)
         return x
@@ -492,6 +498,12 @@ class Simulation:
         key = (self.spec, self.box.periodic, self.mesh,
                self.end_of_step_hook)
         if self._runner is None or self._runner_key != key:
+            if self.state is not None:
+                # sync to host UNDER THE OLD brick_spec before it is
+                # rebuilt below — _host_x de-localizes with the spec the
+                # state was partitioned with
+                self._pull_state()
+                self.state = None
             cutoff = self.tables.max_cut()
             skin = self.neighbor_skin if self.neighbor_skin is not None \
                 else 0.3 * cutoff

@@ -936,13 +936,21 @@ def _pref_t_blk(ts: int) -> int:
 
 def _delta_index_map(geom: StripGeometry, ox: int, oy: int, kk: int):
     """Window block index map with the per-(column, neighbor, block)
-    retarget offset read from the scalar-prefetched delta table."""
+    retarget offset read from the scalar-prefetched delta table.
+
+    The table is passed FLATTENED to 1D: Mosaic pads every minor dim of
+    an SMEM-prefetched array (nnbr 9->16, nblocks->128), which inflated
+    the (ncols, 9, nblocks) i32 table ~14x past the 1MB SMEM budget at
+    1M particles (measured: u8[5120000] = 625x16x128x4 for a 360KB
+    table). Flat, only the single trailing dim pads."""
     base = _band_index_map(geom, ox, oy)
     nblocks = geom.nblocks
+    nnbr = len(_neighbor_offsets(geom))
 
     def imap(c, b, delta_ref):
         col, _, z0, z1 = base(c, b)
-        bb = jnp.clip(b + delta_ref[c, kk, b], 0, nblocks - 1)
+        off = delta_ref[(c * nnbr + kk) * nblocks + b]
+        bb = jnp.clip(b + off, 0, nblocks - 1)
         return (col, bb, z0, z1)
 
     return imap
@@ -1032,7 +1040,8 @@ def make_strip_kernel(geom: StripGeometry, spec: PhysicsSpec, ntypes: int,
 
     def call(tabs, i_arr, win, delta):
         scal, tab_mat = tabs
-        args = [delta, scal, tab_mat, i_arr] + [win] * len(offs)
+        # flat 1D prefetch: see _delta_index_map (SMEM minor-dim padding)
+        args = [delta.reshape(-1), scal, tab_mat, i_arr] + [win] * len(offs)
         return pl.pallas_call(
             kernel,
             grid_spec=pltpu.PrefetchScalarGridSpec(
@@ -1126,7 +1135,8 @@ def make_vapor_kernel(geom: StripGeometry, vtype: int, cut: float,
                             memory_space=pltpu.VMEM)
 
     def call(i_arr, win, delta):
-        args = [delta, i_arr] + [win] * len(offs)
+        # flat 1D prefetch: see _delta_index_map (SMEM minor-dim padding)
+        args = [delta.reshape(-1), i_arr] + [win] * len(offs)
         return pl.pallas_call(
             kernel,
             grid_spec=pltpu.PrefetchScalarGridSpec(
