@@ -403,7 +403,13 @@ class Simulation:
         skin = self.neighbor_skin if self.neighbor_skin is not None \
             else 0.3 * cutoff
         headroom = 1.35 if self.phase_change_config is not None else 1.08
-        gkey = ("strip", cutoff, skin, self.natoms, self.spec.dim, headroom)
+        # drift allowance doubles on every coverage-violation re-choose
+        # (api.run's overflow catch): the first choice anticipates ordinary
+        # skin-licensed motion; a system that still violates gets sticky,
+        # wider margins instead of a re-choose/recompile oscillation
+        drift = getattr(self, "_strip_drift", 1.0)
+        gkey = ("strip", cutoff, skin, self.natoms, self.spec.dim, headroom,
+                drift)
         if getattr(self, "_strip_geom_key", None) != gkey:
             if self.state is not None:
                 self._pull_state()
@@ -411,7 +417,7 @@ class Simulation:
             self._strip_geom_key = gkey
             self._strip_geom = choose_strip_geometry(
                 self.box, cutoff, self.spec.dim, skin, x=x,
-                headroom=headroom)
+                headroom=headroom, drift=drift)
         geom = self._strip_geom
         if geom is None:
             return None
@@ -530,7 +536,8 @@ class Simulation:
                         self.box, self.brick_spec, self.spec.dim, cutoff,
                         skin, np.asarray(self._staged["x"]),
                         headroom=(1.35 if self.phase_change_config is not None
-                                  else 1.15))
+                                  else 1.15),
+                        drift=getattr(self, "_strip_drift", 1.0))
             use_pallas = (self.backend_name == "pallas"
                           or (self.backend_name == "auto"
                               and jax.default_backend() == "tpu"
@@ -668,6 +675,17 @@ class Simulation:
                         or self.mesh is not None or attempts >= 2):
                     raise
                 attempts += 1
+                # first violation in the sim's life: re-measure from the
+                # evolved state at the same drift (the usual cause is the
+                # initial-lattice -> fluid transition, which changes the
+                # measured margins structurally). Repeat violations escalate
+                # the drift allowance so the re-chosen geometry is sticky,
+                # not re-measured to the same knife edge.
+                nviol = getattr(self, "_strip_violations", 0) + 1
+                self._strip_violations = nviol
+                if nviol > 1:
+                    self._strip_drift = min(
+                        getattr(self, "_strip_drift", 1.0) * 2.0, 8.0)
                 start = self.step_count
                 done = max(getattr(self, "_last_cb_step", start) - start, 0)
                 # the runner freezes integration the step after a rebuild

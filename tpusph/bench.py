@@ -148,6 +148,14 @@ def run_bench(n_particles: int = 1_000_000, n_steps: int = 50, dim: int = 3,
 
     sim.run(n_steps)  # warmup: compiles the run block + first rebuilds
     jax.block_until_ready(sim.state.x)
+    if mode in ("dynamic", "boiling"):
+        # second warmup window: the initial lattice mixes into a fluid over
+        # the first ~n_steps, which can change the measured strip margins
+        # and trigger ONE geometry re-choice (api.run's overflow recovery).
+        # Run it here so the re-choice + recompile land in warmup, not in a
+        # timed window.
+        sim.run(n_steps)
+        jax.block_until_ready(sim.state.x)
 
     walls, rebuilds = [], []
     for _ in range(n_windows):
@@ -179,6 +187,10 @@ def run_bench(n_particles: int = 1_000_000, n_steps: int = 50, dim: int = 3,
         "wall_s": round(dt_wall, 3),
         "windows_s": [round(w, 3) for w in walls],
         "rebuilds_per_window": rebuilds,
+        # strip coverage violations over the whole run (each one froze a
+        # block and re-chose the geometry — nonzero here means some window
+        # times include a re-choose + compile)
+        "geometry_rechoices": getattr(sim, "_strip_violations", 0),
         "steps": n_steps,
         "particles": int(n),
         "device": str(jax.devices()[0]),

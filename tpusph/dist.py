@@ -631,7 +631,7 @@ class DistBackend:
 
 def choose_strip_geometry_dist(box_global: Box, spec: BrickSpec, dim: int,
                                cutoff: float, skin: float, x: np.ndarray,
-                               headroom: float = 1.15):
+                               headroom: float = 1.15, drift: float = 1.0):
     """Strip geometry shared by EVERY brick (one compiled program): choose
     per brick view (owned + margin ghosts, brick-local frame) and merge to
     the worst case. Returns (geom, local_cap) or (None, None) when any
@@ -649,7 +649,7 @@ def choose_strip_geometry_dist(box_global: Box, spec: BrickSpec, dim: int,
     # compiled program must cover every brick.
     lead = max(views, key=len)
     g0 = choose_strip_geometry(blocal, cutoff, dim, skin, x=lead,
-                               headroom=headroom)
+                               headroom=headroom, drift=drift)
     if g0 is None:
         return None, None
     cand = ((g0.ts, g0.ch),)
@@ -658,7 +658,7 @@ def choose_strip_geometry_dist(box_global: Box, spec: BrickSpec, dim: int,
     for v in views:
         g = choose_strip_geometry(blocal, cutoff, dim, skin, x=v,
                                   headroom=headroom, candidates=cand,
-                                  plane_nc=pnc)
+                                  plane_nc=pnc, drift=drift)
         if g is None:
             return None, None
         geoms.append(g)

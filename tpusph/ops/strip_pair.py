@@ -161,12 +161,21 @@ def choose_strip_geometry(box: Box, cutoff: float, dim: int, skin: float,
                           x: np.ndarray | None = None,
                           headroom: float = 1.08,
                           candidates=DEFAULT_TS_CH,
-                          plane_nc=None) -> StripGeometry | None:
+                          plane_nc=None,
+                          drift: float = 1.0) -> StripGeometry | None:
     """Host-side geometry choice from the MEASURED particle distribution:
     column capacity from per-column counts (+ seam-ghost bands), window
     margins from the exact per-particle rank distance to the farthest
     same-column neighbor within cutoff+skin. Returns None when the box
-    can't strip — callers fall back to the band/column kernels."""
+    can't strip — callers fall back to the band/column kernels.
+
+    ``drift`` sizes the allowance for rank-reach growth BETWEEN geometry
+    choices: margins get an extra ``drift * skin * rows_per_z`` rows per
+    side. The snapshot-exact margins alone are violated within tens of
+    steps on any thermally agitated system (each violation freezes a
+    step block and repays the Mosaic compile), so the chooser must
+    anticipate the motion the skin already licenses. Callers escalate
+    ``drift`` on repeated coverage violations."""
     if x is None or len(x) == 0:
         return None
     lo = np.asarray(box.lo, np.float64)
@@ -471,6 +480,14 @@ def choose_strip_geometry(box: Box, cutoff: float, dim: int, skin: float,
                     (M["hi_ks"][k] + head) - (tfloor + ts - 1) - ds_dn)))
             need_lo = max(need_lo, 0.0)
             need_hi = max(need_hi, 0.0)
+            # drift allowance: rank reach grows as particles use the motion
+            # budget the skin licenses (and as an initial lattice mixes into
+            # a fluid); without it the snapshot-exact margins violate within
+            # tens of steps and every violation costs a frozen block + a
+            # Mosaic recompile
+            drift_rows = drift * skin * float(max_cnt) / max(lz, 1e-30)
+            need_lo += drift_rows
+            need_hi += drift_rows
 
             def chunks(need):
                 nat = max(int(math.ceil(need / ch)), 1)
