@@ -217,3 +217,41 @@ def test_strip_window_violation_detected():
     st_b = sb.resize(st)
     st_b, data = build_strips(st_b, squeezed, box)
     assert int(data.overflow[0]) > 0
+
+
+def test_strip_seam_momentum_conserved():
+    """Seam-ghost bands must be re-copied from their sources EVERY step
+    (StripBackend.refresh_seam — the forward_comm analog). Ghost copies do
+    not self-evolve correctly between rebuilds: band-edge ghosts have
+    truncated neighborhoods, an O(1) force error that walks their positions
+    and breaks action-reaction at the seam. Regression: the self-evolving
+    design leaked ~2e-3 momentum units over 12 steps on this system; the
+    per-step refresh holds it at f32 roundoff."""
+    from tpusph.api import Simulation
+
+    sim = Simulation(dim=2, screen=False)
+    sim.backend_name = "strip"
+    per = 24
+    L = float(per)
+    sim.create_box([0, 0, 0], [L, L, 1.0], periodic=(True, True, False),
+                   ntypes=1)
+    ax = np.arange(per, dtype=np.float32)
+    g2 = np.stack(np.meshgrid(ax, ax, indexing="ij"), -1).reshape(-1, 2)
+    g = np.concatenate([g2, np.zeros((len(g2), 1), np.float32)], 1)
+    rng = np.random.default_rng(7)
+    v = rng.normal(0, 0.35, g.shape).astype(np.float32)
+    v[:, 2] = 0.0
+    v -= v.mean(axis=0, keepdims=True)
+    sim.add_particles(g, np.ones(len(g), np.int32), v=v, rho=1.0, e=1.0,
+                      cv=1.0, rmass=1.0)
+    sim.pair_rhosum(every=1)
+    sim.pair_taitwater()
+    sim.tables.set_taitwater(1, 1, rho0=1.0, c0=10.0, viscosity=0.3, h=3.0)
+    sim.tables.set_rhosum(1, 1, h=3.0)
+    sim.neighbor_skin = 0.5
+    sim.dt = 5e-3
+    sim.thermo(0)
+    sim.run(12)
+    assert isinstance(sim._ensure_runner().backend, StripBackend)
+    vv = np.asarray(sim.get("v"), np.float64)
+    assert np.abs(vv.sum(axis=0)).max() < 2e-4, vv.sum(axis=0)

@@ -99,6 +99,16 @@ class GridData:
     # prefetched by the strip kernels so rank windows track cross-column
     # density differences (re-computed each rebuild).
     delta: jax.Array | None = None
+    # strip backend only: the seam-ghost band copy map (src row, dest row
+    # with capacity = invalid, column-axis position shift). Ghost copies do
+    # NOT self-evolve correctly between rebuilds (the band edge truncates
+    # their neighborhoods, an O(1) force error that walks their positions
+    # and leaks momentum through broken action-reaction at the seam), so
+    # StripBackend.prepare re-copies them from their source rows EVERY
+    # step — the single-device forward_comm analog (src/comm.cpp).
+    seam_src: jax.Array | None = None
+    seam_dest: jax.Array | None = None
+    seam_shift: jax.Array | None = None
 
 
 def cell_coords(x: jax.Array, geom: GridGeometry) -> jax.Array:

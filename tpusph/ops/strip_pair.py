@@ -157,6 +157,23 @@ DEFAULT_TS_CH = ((64, 32), (64, 16), (64, 8), (48, 16), (48, 8),
                  (32, 16), (32, 8), (16, 16), (16, 8))
 
 
+def pad_window_to_vreg(ts: int, ch: int, mlo: int, mhi: int,
+                       nch: int) -> tuple[int, int]:
+    """Grow the window margins to fill the whole vreg multiple. Issued
+    lanes are ceil128(W) no matter what, so the rows between W and the
+    next 128-multiple are FREE drift tolerance — and an exact-128 lane
+    dim avoids Mosaic's padded-lane masking on every window op. ch always
+    divides 128 (8/16/32), so the pad splits into whole chunks."""
+    stride = ts // ch
+    w = ch * (mlo + stride + mhi)
+    target = -(-w // 128) * 128
+    extra = (target - w) // ch
+    add_lo = min(extra // 2, max(nch - mlo, 0))
+    mlo += add_lo
+    mhi = min(mhi + (extra - add_lo), nch)
+    return mlo, mhi
+
+
 def choose_strip_geometry(box: Box, cutoff: float, dim: int, skin: float,
                           x: np.ndarray | None = None,
                           headroom: float = 1.08,
@@ -512,6 +529,7 @@ def choose_strip_geometry(box: Box, cutoff: float, dim: int, skin: float,
     if best is None:
         return None  # density inhomogeneity too strong: band/column win
     _, nc, ts, ch, head, tail, col_cap, mlo, mhi, t_blk = best
+    mlo, mhi = pad_window_to_vreg(ts, ch, mlo, mhi, col_cap // ch)
 
     if dim == 3:
         ncx, ncy = nc[0], nc[1]
@@ -884,7 +902,8 @@ def build_strips(state: ParticleState, geom: StripGeometry, box: Box,
         x_ref=new_state.x,
         overflow=overflow,
         nbuilds=nbuilds + 1,
-        delta=delta)
+        delta=delta,
+        seam_src=seam[0], seam_dest=seam[1], seam_shift=seam[2])
     ret = (new_state, data)
     if extra_def is not None:
         ret = ret + (extra_out,)
@@ -1266,6 +1285,29 @@ class StripBackend(BandBackend):
     def init_aux(self, state: ParticleState, box: Box):
         return build_strips(self.resize(state), self.geom, box)
 
+    def refresh_seam(self, state: ParticleState, aux: gridlib.GridData):
+        """Re-copy the seam-ghost bands from their source rows — the
+        single-device forward_comm analog (src/comm.cpp), run EVERY step.
+        Ghost copies do not self-evolve correctly between rebuilds: band-
+        edge ghosts have truncated neighborhoods, an O(1) force error that
+        walks their positions apart from their sources and breaks
+        action-reaction at the seam (measured: Py drift growing ~t^3, 0.03
+        momentum units over 16 steps on a 1600-particle quiescent-P
+        system). Copies x (column axis shifted by +-L), vest, rho, e — the
+        fields the pair sweeps read (same set as dist._FWD_FIELDS)."""
+        src, dest_w, shift = aux.seam_src, aux.seam_dest, aux.seam_shift
+        if src is None or src.shape[0] == 0:
+            return state
+        ca = self.geom.col_axis
+        upd = {}
+        for nm in ("x", "vest", "rho", "e"):
+            a = getattr(state, nm)
+            g = a[src]
+            if nm == "x":
+                g = g.at[:, ca].add(shift)
+            upd[nm] = a.at[dest_w].set(g, mode="drop")
+        return dataclasses.replace(state, **upd)
+
     def prepare(self, state: ParticleState, aux: gridlib.GridData, istep,
                 box: Box):
         trigger = needs_rebuild(state, aux, self.geom.skin)
@@ -1275,4 +1317,7 @@ class StripBackend(BandBackend):
         def do_build(s):
             return build_strips(s, self.geom, box, nbuilds=aux.nbuilds)
 
-        return jax.lax.cond(trigger, do_build, lambda s: (s, aux), state)
+        state, aux = jax.lax.cond(trigger, do_build, lambda s: (s, aux),
+                                  state)
+        # idempotent on rebuild steps (fresh bands are already exact copies)
+        return self.refresh_seam(state, aux), aux
