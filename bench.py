@@ -19,7 +19,10 @@ def main():
     # headline mode: `dynamic` — density contrast + thermal field, so timed
     # windows contain the production rebuild cadence (r2 VERDICT #8); the
     # quiescent kernel ceiling remains available as TPUSPH_BENCH_MODE=uniform
-    mode = os.environ.get("TPUSPH_BENCH_MODE", "dynamic")
+    # (and is measured alongside the headline when no mode is forced)
+    mode = os.environ.get("TPUSPH_BENCH_MODE", "")
+    both = mode == ""
+    mode = mode or "dynamic"
 
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     from tpusph.bench import run_bench
@@ -41,6 +44,17 @@ def main():
         sys.stderr.write("falling back to cellgrid backend at 8k\n")
         result = run_bench(n_particles=8_000, n_steps=3, backend="cellgrid",
                            warmup_steps=1, mode=mode)
+    if both:
+        # quiescent kernel ceiling alongside the dynamic headline (same
+        # size): kept as a datapoint so kernel regressions stay visible
+        # even when the rebuild cadence dominates the headline
+        try:
+            u = run_bench(n_particles=result["particles"], n_steps=steps,
+                          backend=backend, mode="uniform")
+            result["uniform_ceiling"] = u["value"]
+            result["uniform_wall_s"] = u["wall_s"]
+        except Exception as err:
+            sys.stderr.write(f"uniform ceiling run failed ({err})\n")
     print(json.dumps(result))
 
 

@@ -29,6 +29,18 @@ def _round_up(n: int, m: int) -> int:
     return ((n + m - 1) // m) * m
 
 
+def _growth_bucket(natoms: int, prev: int) -> int:
+    """Cache-key bucket for particle count: re-use the previous bucket while
+    the count stays within [-20%, +25%] of it. Geometry/cap cache keys use
+    this instead of the exact natoms so phase-change insertion batches do
+    NOT recompile the kernels after every firing — the overflow guard plus
+    the adaptive re-choose (api.run) cover occupancy outgrowing a stale
+    measurement."""
+    if prev and 0.8 * prev <= natoms <= 1.25 * prev:
+        return prev
+    return natoms
+
+
 class Simulation:
     """One simulation: box + particles + physics + run loop."""
 
@@ -364,8 +376,14 @@ class Simulation:
                 cap = self.cell_cap
             else:
                 # measuring pulls device state to host — do it once per
-                # (cutoff, skin, natoms), not on every run() call
-                mkey = (cutoff, skin, self.natoms)
+                # (cutoff, skin) and natoms GROWTH BUCKET, not on every
+                # run() call and NOT on every phase-change insertion batch
+                # (a natoms-exact key recompiled the kernels after every
+                # firing; the overflow guard + adaptive re-choose already
+                # cover occupancy outgrowing the measurement)
+                mkey = (cutoff, skin, _growth_bucket(
+                    self.natoms,
+                    (getattr(self, "_mcap_key", None) or (0, 0, 0))[-1]))
                 if getattr(self, "_mcap_key", None) != mkey:
                     self._mcap_key = mkey
                     self._mcap = self._measured_cell_cap(cutoff, skin)
@@ -408,8 +426,11 @@ class Simulation:
         # skin-licensed motion; a system that still violates gets sticky,
         # wider margins instead of a re-choose/recompile oscillation
         drift = getattr(self, "_strip_drift", 1.0)
-        gkey = ("strip", cutoff, skin, self.natoms, self.spec.dim, headroom,
-                drift)
+        gkey = ("strip", cutoff, skin,
+                _growth_bucket(self.natoms,
+                               (getattr(self, "_strip_geom_key", None)
+                                or (0, 0, 0, 0))[3]),
+                self.spec.dim, headroom, drift)
         if getattr(self, "_strip_geom_key", None) != gkey:
             if self.state is not None:
                 self._pull_state()
@@ -441,7 +462,11 @@ class Simulation:
         # choosing re-measures occupancy (pulls device state) and the choice
         # must stay STABLE across run() calls — a re-chosen geometry is a
         # full recompile. Re-choose only when the static inputs change.
-        gkey = (cutoff, skin, self.natoms, self.spec.dim)
+        gkey = (cutoff, skin,
+                _growth_bucket(self.natoms,
+                               (getattr(self, "_band_geom_key", None)
+                                or (0, 0, 0, 0))[2]),
+                self.spec.dim)
         if getattr(self, "_band_geom_key", None) != gkey:
             if self.state is not None:
                 self._pull_state()
@@ -674,7 +699,6 @@ class Simulation:
                 if ("capacity overflow" not in str(err)
                         or self.mesh is not None or attempts >= 2):
                     raise
-                attempts += 1
                 # first violation in the sim's life: re-measure from the
                 # evolved state at the same drift (the usual cause is the
                 # initial-lattice -> fluid transition, which changes the
@@ -693,6 +717,18 @@ class Simulation:
                 # excluded) is the real progress — host chunk accounting
                 # overcounts by the frozen tail
                 done = min(done, getattr(self._runner, "ok_steps", done))
+                # a growing phase (evaporation) legitimately outgrows the
+                # measured caps MANY times over a long run; every re-choose
+                # re-measures from the evolved state, so abort only on
+                # CONSECUTIVE zero-progress re-chooses (a stuck geometry),
+                # never on adaptation that is moving forward
+                attempts = 1 if done > 0 else attempts + 1
+                # and escalate the cell-cap headroom so the adaptation
+                # CONVERGES in a re-choose or two (each one repays a
+                # compile) instead of chasing the occupancy spike by
+                # epsilon every time
+                self._cap_boost = min(
+                    getattr(self, "_cap_boost", 1.0) * 1.5, 4.0)
                 self.time_acc += done * self.dt
                 self.step_count += done
                 remaining -= done
@@ -841,9 +877,12 @@ class Simulation:
         flat = (c[:, 0] * nc[1] + c[:, 1]) * nc[2] + c[:, 2]
         max_occ = int(np.bincount(flat).max()) if len(flat) else 8
         # headroom over the MEASURED max (overflow aborts loudly if dynamics
-        # outgrow it); phase change inserts particles -> more
+        # outgrow it); phase change inserts particles -> more. _cap_boost
+        # escalates on every overflow re-choose (api.run) so violent cases
+        # converge instead of re-overflowing by epsilon.
         if frac is None:
             frac = 1.6 if self.phase_change_config else 1.15
+        frac *= getattr(self, "_cap_boost", 1.0)
         return int(math.ceil((max_occ * frac + 2) / 8.0) * 8)
 
     def _check_overflow(self):

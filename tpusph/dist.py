@@ -672,6 +672,10 @@ def choose_strip_geometry_dist(box_global: Box, spec: BrickSpec, dim: int,
     if ch * (mlo + (ts // ch) + mhi) > 640:
         return None, None
     col_cap = -(-(head + budget + tail) // blk) * blk
+    # per-brick windows are already vreg-padded, but the independent
+    # mlo/mhi maxima can land between multiples — re-pad the merge
+    from tpusph.ops.strip_pair import pad_window_to_vreg
+    mlo, mhi = pad_window_to_vreg(ts, ch, mlo, mhi, col_cap // ch)
     geom = g0._replace(head=head, tail=tail, col_cap=col_cap,
                        mlo=mlo, mhi=mhi)
 
