@@ -1,0 +1,65 @@
+"""Within-Pair breakdown of the strip backend at bench scale: geometry
+dump, window-pack cost, and per-kernel (rho / cgrad / force) time on the
+live device. Companion to tools/profile_1M.py (whole-phase split).
+
+Usage: python tools/profile_strip_kernels.py [n] [mode]
+"""
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax  # noqa: E402
+
+
+def timeit(label, fn, *args, reps=5):
+    out = fn(*args)
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        out = fn(*args)
+    jax.block_until_ready(out)
+    print(f"{label}: {(time.perf_counter() - t0) / reps * 1e3:.2f} ms",
+          flush=True)
+    return out
+
+
+def main():
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 1_000_000
+    mode = sys.argv[2] if len(sys.argv) > 2 else "uniform"
+    from tpusph.bench import build_bench_sim
+    from tpusph.ops import strip_pair
+    from tpusph.ops.band_pair import _state_fields
+
+    sim = build_bench_sim(n, mode=mode)
+    sim.run(5)
+    jax.block_until_ready(sim.state.x)
+    be = sim._runner.backend
+    g = be.geom
+    print(f"geom: ncols={g.ncols} cap={g.col_cap} ts={g.ts} ch={g.ch} "
+          f"mlo={g.mlo} mhi={g.mhi} W={g.ts + g.ch * (g.mlo + g.mhi)} "
+          f"stride={g.stride} t_blk={g.t_blk} head={g.head} tail={g.tail} "
+          f"n_slots={g.n_slots}", flush=True)
+
+    state, aux = sim.state, sim.aux
+
+    fields = _state_fields(state)
+    pack_i = jax.jit(lambda s: be._pack_i(_state_fields(s)))
+    pack_w = jax.jit(lambda s: be._pack_band(_state_fields(s)))
+    timeit("pack_i", pack_i, state)
+    timeit("pack_window", pack_w, state)
+
+    # rebuild (sort + place + ghosts + delta)
+    bld = jax.jit(lambda s: strip_pair.build_strips(s, g, sim.box))
+    timeit("build_strips", bld, state)
+
+    # full force stage (rho + cgrad + force incl. packs)
+    from tpusph.forces import compute_forces
+    frc = jax.jit(lambda s, a: compute_forces(
+        s, sim.tables, sim.spec, sim.box, be, istep=1, aux=a))
+    timeit("compute_forces(all)", frc, state, aux)
+
+
+if __name__ == "__main__":
+    main()

@@ -113,11 +113,12 @@ def build_bench_sim(n_particles: int, dim: int = 3, multiphase: bool = True,
             vapor_type=2, every=10, prob=0.05, insert_offset=0.5 * dx,
             cutoff=h, vapor_rho=rho_v))
 
-    # skin 0.5 dx: the strip chooser lands the one-vreg W=128 window
-    # (commensurate side-4 columns, ts=16/ch=8) — half the lanes of the
-    # r2 skin-1.0 geometry; rebuilds fire ~2x as often, which the dynamic
-    # mode deliberately includes in the metric
-    sim.neighbor_skin = 0.5 * dx
+    # skin 1.0 dx: with the measured per-tile fixed cost in the chooser
+    # (strip_pair._TILE_FIXED_LANES) the one-vreg W=128/ts=16 geometry is
+    # a LOSS (4x the tiles, ~5.7 us fixed each — measured 503 ms vs 216 ms
+    # force stage @1M), so both skins land (ts=64, W=256) and the larger
+    # skin halves the rebuild cadence
+    sim.neighbor_skin = 1.0 * dx
     sim.dt = 2e-3 if mode == "uniform" else 5e-3
     sim.thermo(0)
     return sim

@@ -457,7 +457,8 @@ def make_band_kernel(geom: BandGeometry, spec: PhysicsSpec, ntypes: int,
             lk = tile_physics.Lookups(scal_ref, tabs2d, vec_cols, vec_rows,
                                       spec, T1)
             hoist = tile_physics.hoist_i(i_tile, lk, spec, sweep)
-            accs = [jnp.zeros((gc,), jnp.float32) for _ in range(n_out)]
+            K = tile_physics.fold_width(W)
+            accs = [jnp.zeros((gc, K), jnp.float32) for _ in range(n_out)]
             for kk, (ox, oy) in enumerate(offs):
                 sx, sy = _plane_shift(geom, ox, oy, cidx)
                 j_tile = band_refs[kk][0, 0]    # (F, W)
@@ -469,8 +470,9 @@ def make_band_kernel(geom: BandGeometry, spec: PhysicsSpec, ntypes: int,
                         "force": (OFX, OFY, OFZ, ODRHO, ODE)}[sweep]
             if sweep == "force" and spec.virial:
                 out_rows = out_rows + (ORHO,)   # OVIR: rho row free here
+            # cross-lane tree once per output (tile_physics.fold_width)
             for row, acc in zip(out_rows, accs):
-                out_ref[0, 0, :, row] = acc
+                out_ref[0, 0, :, row] = jnp.sum(acc, axis=1)
 
         # empty i-group: nothing to compute or write (dead output slots are
         # masked by the caller before they reach state)

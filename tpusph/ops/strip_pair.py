@@ -47,6 +47,7 @@ from __future__ import annotations
 
 import dataclasses
 import math
+import os
 from typing import NamedTuple
 
 import jax
@@ -152,6 +153,10 @@ class StripGeometry(NamedTuple):
         """Seam copy depth: 2x margin_dist (see module docstring §3)."""
         return 2.0 * self.margin_dist
 
+
+# per-tile fixed kernel cost in lane-equivalents (see the chooser's cost
+# model; measured v5e @1M r3: beta ~= 5.7 us/tile at ~0.31 ns/lane)
+_TILE_FIXED_LANES = float(os.environ.get("TPUSPH_STRIP_TILE_FIXED", "18000"))
 
 DEFAULT_TS_CH = ((64, 32), (64, 16), (64, 8), (48, 16), (48, 8),
                  (32, 16), (32, 8), (16, 16), (16, 8))
@@ -430,9 +435,11 @@ def choose_strip_geometry(box: Box, cutoff: float, dim: int, skin: float,
                 continue
             B = ts * t_blk
             # lower-bound prune: even zero margins cannot beat the best
-            # (cost model below: lanes x per-program overhead factor)
+            # (cost model below: lanes + per-tile fixed cost, x per-program
+            # overhead factor)
             if best is not None and \
-                    ceil128(ch * (2 + ts // ch)) * (1 + 6.0 / B) > best[0][0]:
+                    (ceil128(ch * (2 + ts // ch)) + _TILE_FIXED_LANES / ts) \
+                    * (1 + 6.0 / B) > best[0][0]:
                 continue
             head = int(math.ceil((nt2 * headroom + 4) / ch)) * ch \
                 if col_per else 0
@@ -522,10 +529,15 @@ def choose_strip_geometry(box: Box, cutoff: float, dim: int, skin: float,
             w = ch * (mlo + ts // ch + mhi)
             if w > 640:
                 continue
-            # cost: issued lanes x a measured per-program overhead factor
-            # (r2 data: 64-row programs ran ~8% slower than 128-row ones;
-            # smaller blocks buy finer delta granularity -> tighter margins)
-            cost = ceil128(w) * (1 + 6.0 / B)
+            # cost: issued lanes + the per-TILE fixed cost in lane
+            # equivalents, x a per-program overhead factor (r2 data: 64-row
+            # programs ran ~8% slower than 128-row ones). The fixed term is
+            # MEASURED on v5e @1M: force stage 216 ms at (ts=64, W=256) vs
+            # 503 ms at (ts=16, W=128) fits time/tile = alpha*ts*W + beta
+            # with beta ~= 5.7 us/tile ~= 18k lane-equivalents — window
+            # re-slicing + DMA issue per tile dwarfs the lane savings of
+            # small tiles, so per-i-row cost is ceil128(W) + beta/ts.
+            cost = (ceil128(w) + _TILE_FIXED_LANES / ts) * (1 + 6.0 / B)
             key = (cost, -ncols, -B, -ts, -ch)
             if best is None or key < best[0]:
                 best = (key, dict(nc), ts, ch, head, tail, col_cap,
@@ -645,45 +657,20 @@ def build_strips(state: ParticleState, geom: StripGeometry, box: Box,
     col_u = jnp.where(live, col, ncols).astype(jnp.uint32)
     key = col_u * jnp.uint32(1 << 20) + jnp.where(live, zq, 0)
 
-    # rho_c/e_c: the Kahan compensation ledgers ride the sort (zeroing them
-    # at every rebuild re-seeds the fp32 drift walk — r2 VERDICT weak #6)
-    payload_names = ("rho", "e", "cv", "rmass", "type", "tag",
-                     "owned", "mobile", "rho_c", "e_c")
-    vec_names = ("x", "v", "vest")
-    pay = []
-    for nm in vec_names:
-        a = getattr(state, nm)
-        pay += [a[:, 0], a[:, 1], a[:, 2]]
-    pay += [getattr(state, nm) for nm in payload_names]
-    pay.append(jnp.where(live, jnp.uint8(1), jnp.uint8(0)))
-    npay = len(pay)
-
-    # extra marker columns ride both sorts ((n, S) leaves split columnwise:
-    # lax.sort operands must share one shape)
-    extra_leaves, extra_def = ([], None)
-    extra_meta = []
-    if extra is not None:
-        extra_leaves, extra_def = jax.tree_util.tree_flatten(extra)
-        for leaf in extra_leaves:
-            if leaf.ndim == 1:
-                pay.append(leaf)
-                extra_meta.append(1)
-            else:
-                for s in range(leaf.shape[1]):
-                    pay.append(leaf[:, s])
-                extra_meta.append(leaf.shape[1])
-
-    sorted_all = jax.lax.sort((key, *pay), num_keys=1, is_stable=True)
-    key_s = sorted_all[0]
-    vals = list(sorted_all[1:])
-    extra_vals = vals[npay:]
-    vals = vals[:npay]
-    live_s = vals[-1] > 0
-    vals = vals[:-1]
+    # ---- data movement: two 2-operand sorts + ONE wide row-gather --------
+    # Carrying every persistent field as a lax.sort payload moves all ~21
+    # operands through every bitonic merge stage (~10x the key sort's
+    # traffic, measured ~1.7 s/rebuild at 1M); a row-gather moves each row
+    # ONCE at ~15 ns/row regardless of width. So: sort (key, row) to rank,
+    # sort (dest_slot, src_row) to place, then gather the packed (n, F)
+    # field matrices by the composed permutation — the same fusion as
+    # refresh_seam's (n, 8) copy (4x there).
+    idx = jnp.arange(n, dtype=jnp.int32)
+    key_s, perm1 = jax.lax.sort((key, idx), num_keys=1, is_stable=True)
+    live_s = key_s < jnp.uint32(ncols) * jnp.uint32(1 << 20)
     col_s = jnp.minimum((key_s >> jnp.uint32(20)).astype(jnp.int32),
                         ncols - 1)
 
-    idx = jnp.arange(n, dtype=jnp.int32)
     # per-column counts WITHOUT an n-row scatter: col_s is sorted, so run
     # boundaries come from ncols binary searches, and per-row rank from a
     # run-start cummax (arbitrary n-row gathers cost ~15 ns/row on TPU)
@@ -713,43 +700,36 @@ def build_strips(state: ParticleState, geom: StripGeometry, box: Box,
     comp_dead = unused_sorted[jnp.clip(d, 0, n - 1)]
     comp = jnp.where(ok, slot, comp_dead.astype(jnp.uint32))
 
-    # dropped-but-alive rows must land dead: kill their type
-    t_i = payload_names.index("type") + 9
-    vals[t_i] = jnp.where(live_s & ~ok, 0, vals[t_i])
-    # previous ghosts / dead rows keep stale fields; kill type for safety
-    vals[t_i] = jnp.where(live_s | ok, vals[t_i], 0)
+    # place: comp is a bijection (ok rows -> their slots, the rest -> the
+    # unused slots in order), so sorting (comp, perm1) yields, for every
+    # dest slot, its source row in ORIGINAL order — the composed
+    # permutation, no intermediate gather needed.
+    _, src0 = jax.lax.sort((comp, perm1), num_keys=1, is_stable=False)
 
-    placed = jax.lax.sort((comp, *vals, *extra_vals), num_keys=1,
-                          is_stable=False)
-    pvals = list(placed[1:])
-    extra_placed = pvals[len(vals):]
-    pvals = pvals[:len(vals)]
+    # packed field matrices, gathered ONCE by the composed permutation.
+    # occ marks exactly the slots the ok rows land in (they fill
+    # [head, head+count_eff) of each column bijectively), so the
+    # dropped/dead-row type kill is a per-slot mask — no sorted-order
+    # bookkeeping.
+    fmat = jnp.concatenate(
+        [state.x, state.v, state.vest,
+         state.rho[:, None], state.e[:, None], state.cv[:, None],
+         state.rmass[:, None], state.rho_c[:, None], state.e_c[:, None]],
+        axis=1)[src0]
+    imat = jnp.stack(
+        [state.type, state.tag,
+         state.owned.astype(jnp.int32), state.mobile.astype(jnp.int32)],
+        axis=1)[src0]
+    imat = imat.at[:, 0].set(jnp.where(occ, imat[:, 0], 0))
 
+    # extra marker columns (dist comm bookkeeping) take the same gather
     extra_out = None
-    if extra_def is not None:
-        leaves_out = []
-        i0 = 0
-        for width in extra_meta:
-            if width == 1:
-                leaves_out.append(extra_placed[i0])
-            else:
-                leaves_out.append(
-                    jnp.stack(extra_placed[i0:i0 + width], axis=1))
-            i0 += width
-        extra_out = jax.tree_util.tree_unflatten(extra_def, leaves_out)
+    if extra is not None:
+        extra_out = jax.tree_util.tree_map(lambda leaf: leaf[src0], extra)
 
-    def vec3(i0):
-        return jnp.stack(pvals[i0:i0 + 3], axis=1)
-
-    fieldmap = dict(x=vec3(0), v=vec3(3), vest=vec3(6))
-    for j, nm in enumerate(payload_names):
-        fieldmap[nm] = pvals[9 + j]
-    zeros3 = jnp.zeros((n, 3), jnp.float32)
-    zn = jnp.zeros(n, jnp.float32)
-    new_state = dataclasses.replace(
-        state, f=zeros3, drho=zn, de=zn, vir=zn, **fieldmap)
-
-    # ---- seam-ghost bands: fixed-size gather/scatter ---------------------
+    # ---- seam-ghost bands: ONE fused row copy per matrix -----------------
+    # (18 narrow per-field gather/scatter pairs cost ~15 ns/row EACH; the
+    # two (k, F) row ops below move the same data once)
     seam = (jnp.zeros(0, jnp.int32), jnp.zeros(0, jnp.int32),
             jnp.zeros(0, jnp.float32))
     if geom.col_periodic and (head or geom.tail):
@@ -759,7 +739,7 @@ def build_strips(state: ParticleState, geom: StripGeometry, box: Box,
         gcol = jj // gb
         off = jj % gb
         cnt_k = count_eff[gcol]
-        z_slot = new_state.x[:, ca] - geom.origin[ca]
+        z_slot = fmat[:, ca] - geom.origin[ca]
         nb = jnp.zeros(ncols, jnp.int32).at[
             jnp.where(occ & (z_slot < depth), idx // cap, ncols)
         ].add(1, mode="drop")
@@ -781,33 +761,24 @@ def build_strips(state: ParticleState, geom: StripGeometry, box: Box,
         dest_w = jnp.where(valid, dest, n)
         shift = jnp.where(is_top, -lz, lz).astype(jnp.float32)
 
-        def ghost_copy(a, shf=None):
-            g = a[src]
-            if shf is not None:
-                g = g + shf
-            return a.at[dest_w].set(g, mode="drop")
-
-        x_new = new_state.x
-        for comp_ax in range(3):
-            colv = x_new[:, comp_ax]
-            if comp_ax == ca:
-                colv = ghost_copy(colv, shift)
-            else:
-                colv = ghost_copy(colv)
-            x_new = x_new.at[:, comp_ax].set(colv)
-        upd = dict(x=x_new)
-        for nm in ("v", "vest"):
-            a = getattr(new_state, nm)
-            a = jnp.stack([ghost_copy(a[:, i]) for i in range(3)], axis=1)
-            upd[nm] = a
-        for nm in ("rho", "e", "cv", "rmass", "type", "tag", "mobile",
-                   "rho_c", "e_c"):
-            upd[nm] = ghost_copy(getattr(new_state, nm))
-        owned = new_state.owned.at[dest_w].set(
-            jnp.zeros(k, bool), mode="drop")
-        upd["owned"] = owned
-        new_state = dataclasses.replace(new_state, **upd)
+        g_f = fmat[src]
+        g_f = g_f.at[:, ca].add(shift)          # x column-axis wrap image
+        fmat = fmat.at[dest_w].set(g_f, mode="drop")
+        g_i = imat[src]
+        g_i = g_i.at[:, 2].set(0)               # ghost copies: owned=False
+        imat = imat.at[dest_w].set(g_i, mode="drop")
         seam = (src, dest_w.astype(jnp.int32), shift)
+
+    zeros3 = jnp.zeros((n, 3), jnp.float32)
+    zn = jnp.zeros(n, jnp.float32)
+    new_state = dataclasses.replace(
+        state,
+        x=fmat[:, 0:3], v=fmat[:, 3:6], vest=fmat[:, 6:9],
+        rho=fmat[:, 9], e=fmat[:, 10], cv=fmat[:, 11], rmass=fmat[:, 12],
+        rho_c=fmat[:, 13], e_c=fmat[:, 14],
+        type=imat[:, 0], tag=imat[:, 1],
+        owned=imat[:, 2] > 0, mobile=imat[:, 3] > 0,
+        f=zeros3, drho=zn, de=zn, vir=zn)
 
     # ---- window-retarget tables (delta) ---------------------------------
     # Rank windows are indexed by the HOME tile; any cross-column density
@@ -909,7 +880,7 @@ def build_strips(state: ParticleState, geom: StripGeometry, box: Box,
         delta=delta,
         seam_src=seam[0], seam_dest=seam[1], seam_shift=seam[2])
     ret = (new_state, data)
-    if extra_def is not None:
+    if extra is not None:
         ret = ret + (extra_out,)
     if return_seam:
         ret = ret + (seam,)
@@ -1026,7 +997,9 @@ def make_strip_kernel(geom: StripGeometry, spec: PhysicsSpec, ntypes: int,
                 lk = tile_physics.Lookups(scal_ref, tabs2d, vec_cols,
                                           vec_rows, spec, T1)
                 hoist = tile_physics.hoist_i(i_tile, lk, spec, sweep)
-                accs = [jnp.zeros((ts,), jnp.float32) for _ in range(n_out)]
+                K = tile_physics.fold_width(W)
+                accs = [jnp.zeros((ts, K), jnp.float32)
+                        for _ in range(n_out)]
                 for kk, (ox, oy) in enumerate(offs):
                     sx, sy = _plane_shift(geom, ox, oy, cidx)
                     j_tile = win_refs[kk][0, tt]   # (F, W)
@@ -1039,8 +1012,10 @@ def make_strip_kernel(geom: StripGeometry, spec: PhysicsSpec, ntypes: int,
                             "force": (OFX, OFY, OFZ, ODRHO, ODE)}[sweep]
                 if sweep == "force" and spec.virial:
                     out_rows = out_rows + (ORHO,)   # OVIR: rho row free here
+                # the cross-lane tree runs ONCE per output per tile (the
+                # per-window sums only fold — see tile_physics.fold_width)
                 for row, acc in zip(out_rows, accs):
-                    out_ref[0, tt, :, row] = acc
+                    out_ref[0, tt, :, row] = jnp.sum(acc, axis=1)
 
             if sweep == "cgrad":
                 # single-phase neighborhoods have exactly-zero color

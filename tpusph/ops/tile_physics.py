@@ -151,10 +151,32 @@ def hoist_i(i_tile, lk: Lookups, spec: PhysicsSpec, sweep: str):
     return h
 
 
+def fold_width(W: int) -> int:
+    """Lane width of tile_part_sums' partial outputs. Full (ROWS, W) ->
+    (ROWS,) cross-lane reductions are a ~7-step shuffle+add tree per vreg
+    row — measured as the dominant per-tile FIXED cost of the strip kernel
+    (~5.7 us/tile at 9 windows x 5-6 outputs). So per window the sums only
+    FOLD to one 128-lane vreg (pure elementwise vreg adds); the caller
+    accumulates (ROWS, K) across windows and pays the tree ONCE per output
+    per tile (jnp.sum(acc, axis=1))."""
+    return 128 if (W % 128 == 0) else W
+
+
+def _fold(x):
+    W = x.shape[1]
+    if W % 128:
+        return x
+    out = x[:, 0:128]
+    for k in range(1, W // 128):
+        out = out + x[:, 128 * k:128 * (k + 1)]
+    return out
+
+
 def tile_part_sums(i_tile, j_tile, shift, hoist, lk: Lookups,
                    spec: PhysicsSpec, sweep: str, col_shift_baked: bool):
     """Physics of one (ROWS x W) neighbor tile; returns the per-sweep tuple
-    of (ROWS,) partial sums. Mirrors ops/pair_terms term by term.
+    of (ROWS, fold_width(W)) lane-folded partial sums (see fold_width).
+    Mirrors ops/pair_terms term by term.
 
     ``shift`` is (sx, sy): plane-axis periodic image shifts for this
     neighbor column; the column-axis shift is baked into the window by the
@@ -218,7 +240,7 @@ def tile_part_sums(i_tile, j_tile, shift, hoist, lk: Lookups,
         live = mask & (rsq < cut * cut) & (cut > 0.0)
         w = w_fn(r, jnp.maximum(cut, 1e-30))
         mass = 1.0 if spec.rhosum_nd else m_j_raw
-        return (jnp.sum(jnp.where(live, mass * w, 0.0), axis=1),)
+        return (_fold(jnp.where(live, mass * w, 0.0)),)
 
     if sweep == "cgrad":
         cut, live, wfd = term_ctx("cut_tension")
@@ -227,9 +249,7 @@ def tile_part_sums(i_tile, j_tile, shift, hoist, lk: Lookups,
             c2d("sigma") * (m_j * inv_rho_j)
             * (cj_1d("color") - hoist["color"]) * wfd,
             0.0)
-        return (jnp.sum(coef * dx0, axis=1),
-                jnp.sum(coef * dx1, axis=1),
-                jnp.sum(coef * dx2, axis=1))
+        return (_fold(coef * dx0), _fold(coef * dx1), _fold(coef * dx2))
 
     # ---- force sweep ----
     f0 = f1 = f2 = drho = de = jnp.zeros((rows, W), jnp.float32)
@@ -318,14 +338,12 @@ def tile_part_sums(i_tile, j_tile, shift, hoist, lk: Lookups,
         f1 = f1 + coef * ((a_i + a_j) * dx1 - cdi * cgy_i - cdj * cgy_j)
         f2 = f2 + coef * ((a_i + a_j) * dx2 - cdi * cgz_i - cdj * cgz_j)
 
-    outs = (jnp.sum(f0, axis=1), jnp.sum(f1, axis=1),
-            jnp.sum(f2, axis=1), jnp.sum(drho, axis=1),
-            jnp.sum(de, axis=1))
+    outs = (_fold(f0), _fold(f1), _fold(f2), _fold(drho), _fold(de))
     if spec.virial:
         # pair virial sum_j f_ij . r_ij — from the ACCUMULATED force tiles,
         # so every term (pressure/viscosity along dx and dv, capillary
         # stress) contributes exactly its f.r (mirrors pair_terms.force_pair)
-        outs = outs + (jnp.sum(f0 * dx0 + f1 * dx1 + f2 * dx2, axis=1),)
+        outs = outs + (_fold(f0 * dx0 + f1 * dx1 + f2 * dx2),)
     return outs
 
 
