@@ -20,6 +20,11 @@ def main():
     sim.run(5)
     jax.block_until_ready(sim.state.x)
     runner = sim._runner
+    g = getattr(runner.backend, "geom", None)
+    if g is not None and hasattr(g, "ts"):
+        print("geom:", dict(ts=g.ts, ch=g.ch, mlo=g.mlo, mhi=g.mhi, W=g.w,
+                            t_blk=g.t_blk, ncols=g.ncols, col_cap=g.col_cap,
+                            ntiles=g.ntiles, skin=g.skin), flush=True)
     ph = profile_step(runner, sim.state, sim.tables, sim.dt, aux=sim.aux,
                       reps=5)
     print("phases_ms:", {k: round(v * 1e3, 2) for k, v in ph.items()},
