@@ -212,11 +212,27 @@ def test_strip_window_violation_detected():
     st, box, tables = lattice_system(3, nside=NSIDE, seed=3)
     x = np.asarray(st.x)[np.asarray(st.type) > 0]
     geom = choose_strip_geometry(box, tables.max_cut(), 3, 0.2, x=x)
-    squeezed = geom._replace(mlo=1, mhi=1, margin_dist=geom.margin_dist * 4)
+    # squeeze ONLY the rank-window margins (mlo/mhi) — margin_dist also
+    # sizes the seam ghost bands (ghost_depth = 2*margin_dist), and a
+    # seam-capacity overflow is a different failure that margin widening
+    # cannot and should not fix
+    squeezed = geom._replace(mlo=1, mhi=1)
     sb = StripBackend(squeezed, box, ntypes=2, interpret=True)
     st_b = sb.resize(st)
     st_b, data = build_strips(st_b, squeezed, box)
     assert int(data.overflow[0]) > 0
+    # the measured shortfall (rows missing below/above, GridData
+    # margin_short) must be EXACT recovery evidence: widening the margins
+    # by precisely that many rows (rounded up to whole chunks) restores
+    # full coverage in one re-choice — no drift-ladder doubling needed
+    short = np.asarray(jax.device_get(data.margin_short))
+    assert short.max() > 0, short
+    ch = squeezed.ch
+    widened = squeezed._replace(mlo=1 + -(-int(short[0]) // ch),
+                                mhi=1 + -(-int(short[1]) // ch))
+    st_c = StripBackend(widened, box, ntypes=2, interpret=True).resize(st)
+    _, data2 = build_strips(st_c, widened, box)
+    assert int(data2.overflow[0]) == 0, int(data2.overflow[0])
 
 
 def test_strip_seam_momentum_conserved():

@@ -421,16 +421,17 @@ class Simulation:
         skin = self.neighbor_skin if self.neighbor_skin is not None \
             else 0.3 * cutoff
         headroom = 1.35 if self.phase_change_config is not None else 1.08
-        # drift allowance doubles on every coverage-violation re-choose
-        # (api.run's overflow catch): the first choice anticipates ordinary
-        # skin-licensed motion; a system that still violates gets sticky,
-        # wider margins instead of a re-choose/recompile oscillation
+        # the drift allowance anticipates ordinary skin-licensed motion;
+        # coverage-violation re-chooses (api.run's overflow catch) add the
+        # MEASURED runtime shortfall (_strip_extra) so margins are sized by
+        # evidence — the drift ladder only backstops unmeasured violations
         drift = getattr(self, "_strip_drift", 1.0)
+        extra = getattr(self, "_strip_extra", (0, 0))
         gkey = ("strip", cutoff, skin,
                 _growth_bucket(self.natoms,
                                (getattr(self, "_strip_geom_key", None)
                                 or (0, 0, 0, 0))[3]),
-                self.spec.dim, headroom, drift)
+                self.spec.dim, headroom, drift, extra)
         if getattr(self, "_strip_geom_key", None) != gkey:
             if self.state is not None:
                 self._pull_state()
@@ -438,7 +439,7 @@ class Simulation:
             self._strip_geom_key = gkey
             self._strip_geom = choose_strip_geometry(
                 self.box, cutoff, self.spec.dim, skin, x=x,
-                headroom=headroom, drift=drift)
+                headroom=headroom, drift=drift, extra_rows=extra)
         geom = self._strip_geom
         if geom is None:
             return None
@@ -707,9 +708,22 @@ class Simulation:
                 # not re-measured to the same knife edge.
                 nviol = getattr(self, "_strip_violations", 0) + 1
                 self._strip_violations = nviol
-                if nviol > 1:
+                short = getattr(self, "_margin_short", (0, 0))
+                if short[0] > 0 or short[1] > 0:
+                    # measured coverage shortfall: the re-chosen margins
+                    # get exactly the observed overshoot (+ slack chunk,
+                    # rounded in the chooser) as a future-growth
+                    # allowance — evidence-sized, converges in one or two
+                    # re-chooses without the 2x drift ladder's W blowup
+                    prev = getattr(self, "_strip_extra", (0, 0))
+                    self._strip_extra = (max(prev[0], short[0] + 4),
+                                         max(prev[1], short[1] + 4))
+                elif nviol > 1:
+                    # violation without a measured window shortfall
+                    # (column/band budget): fall back to the drift ladder
                     self._strip_drift = min(
                         getattr(self, "_strip_drift", 1.0) * 2.0, 8.0)
+                self._margin_short = (0, 0)
                 start = self.step_count
                 done = max(getattr(self, "_last_cb_step", start) - start, 0)
                 # the runner freezes integration the step after a rebuild
@@ -894,6 +908,11 @@ class Simulation:
         if aux is not None and hasattr(aux, "overflow"):
             ov = int(np.sum(np.asarray(jax.device_get(aux.overflow))))
         if ov > 0:
+            ms = getattr(aux, "margin_short", None)
+            if ms is not None:
+                arr = np.asarray(jax.device_get(ms)).reshape(-1, 2)
+                self._margin_short = (int(arr[:, 0].max()),
+                                      int(arr[:, 1].max()))
             raise RuntimeError(
                 f"cell/halo capacity overflow ({ov} particles dropped from "
                 "pair windows). Raise Simulation.cell_cap (cell capacity) "

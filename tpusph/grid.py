@@ -109,6 +109,12 @@ class GridData:
     seam_src: jax.Array | None = None
     seam_dest: jax.Array | None = None
     seam_shift: jax.Array | None = None
+    # strip backend only: (2,) i32 worst coverage shortfall in ROWS
+    # (below, above) across all tiles at the last rebuild — 0 when the
+    # rank windows cover cutoff+skin everywhere. On a coverage violation
+    # the host reads this to size the re-chosen margins EXACTLY (measured
+    # overshoot + slack) instead of escalating a blind multiplier.
+    margin_short: jax.Array | None = None
 
 
 def cell_coords(x: jax.Array, geom: GridGeometry) -> jax.Array:

@@ -184,7 +184,8 @@ def choose_strip_geometry(box: Box, cutoff: float, dim: int, skin: float,
                           headroom: float = 1.08,
                           candidates=DEFAULT_TS_CH,
                           plane_nc=None,
-                          drift: float = 1.0) -> StripGeometry | None:
+                          drift: float = 1.0,
+                          extra_rows: tuple = (0, 0)) -> StripGeometry | None:
     """Host-side geometry choice from the MEASURED particle distribution:
     column capacity from per-column counts (+ seam-ghost bands), window
     margins from the exact per-particle rank distance to the farthest
@@ -196,8 +197,13 @@ def choose_strip_geometry(box: Box, cutoff: float, dim: int, skin: float,
     side. The snapshot-exact margins alone are violated within tens of
     steps on any thermally agitated system (each violation freezes a
     step block and repays the Mosaic compile), so the chooser must
-    anticipate the motion the skin already licenses. Callers escalate
-    ``drift`` on repeated coverage violations."""
+    anticipate the motion the skin already licenses.
+
+    ``extra_rows`` = (below, above) additional margin rows on top of the
+    measured need — violation recovery passes the MEASURED runtime
+    shortfall (GridData.margin_short) here, so one re-choice restores
+    coverage with margins sized by evidence instead of a doubling
+    ``drift`` ladder (which overshoots to W=384+ and halves throughput)."""
     if x is None or len(x) == 0:
         return None
     lo = np.asarray(box.lo, np.float64)
@@ -510,8 +516,8 @@ def choose_strip_geometry(box: Box, cutoff: float, dim: int, skin: float,
             # tens of steps and every violation costs a frozen block + a
             # Mosaic recompile
             drift_rows = drift * skin * float(max_cnt) / max(lz, 1e-30)
-            need_lo += drift_rows
-            need_hi += drift_rows
+            need_lo += drift_rows + float(extra_rows[0])
+            need_hi += drift_rows + float(extra_rows[1])
 
             def chunks(need):
                 nat = max(int(math.ceil(need / ch)), 1)
@@ -826,44 +832,43 @@ def build_strips(state: ParticleState, geom: StripGeometry, box: Box,
     delta = jnp.stack(deltas, axis=1)    # (ncols, nnbr, nblocks)
 
     # --- window coverage check (the strip analog of the cell-cap bound) ---
+    # The check is CROSS-COLUMN and rank-exact: a tile's delta-shifted rank
+    # window [ts*t - ch*mlo + dB, ts*(t+1) + ch*mhi + dB) must contain every
+    # neighbor-column slot whose z lies in [z_tile_min - ce, z_tile_max + ce].
+    # searchsorted over the fill-padded per-column z gives the first/last
+    # needed slot, so the SHORTFALL IN ROWS falls out for free — surfaced as
+    # margin_short so a violation re-choice can size the new margins from
+    # the measured overshoot instead of escalating a blind multiplier.
     zf = jnp.where(alive_slot, zs, big).reshape(ncols, geom.n32, geom.ch)
     zl = jnp.where(alive_slot, zs, -big).reshape(ncols, geom.n32, geom.ch)
     zfirst = jnp.min(zf, axis=2)     # (ncols, n32)
     zlast = jnp.max(zl, axis=2)
-    t_idx = jnp.arange(geom.ntiles)
+    t_idx = jnp.arange(geom.ntiles, dtype=jnp.int32)
     ce = geom.margin_dist
-    n32 = geom.n32
-    bpc = B // geom.ch               # chunks per block (the delta unit)
-
-    def chunk_at(arr_p, off, fill, dchunks):
-        """arr_p (ncols, n32) permuted; dchunks (ncols, ntiles) the
-        delta shift in chunks for this neighbor."""
-        ci = stride * t_idx[None, :] + off + dchunks
-        oob = (ci < 0) | (ci >= n32)
-        v = jnp.take_along_axis(arr_p, jnp.clip(ci, 0, n32 - 1), axis=1)
-        return jnp.where(oob, fill, v)
-
-    # the check is CROSS-COLUMN: a tile's delta-shifted window must cover
-    # [z_i - ce, z_i + ce] in the neighbor's own slot space. Running
-    # max-below / min-above catch alive rows hiding past dead zones
-    # (short columns). z-sorted columns make the tile's z extremes its
-    # first chunk's min / last chunk's max.
-    zmax_below = jax.lax.cummax(zlast, axis=1)
-    zmin_above = jnp.flip(jax.lax.cummin(jnp.flip(zfirst, 1), axis=1), 1)
     tile_alive = zfirst[:, ::stride] < big * 0.5
-    zf_self = zfirst[:, ::stride]
+    zf_self = zfirst[:, ::stride]                 # (ncols, ntiles) z extremes
     zl_self = zlast[:, stride - 1::stride]
-    bad = jnp.zeros(zf_self.shape, bool)
+    win_lo0 = t_idx[None, :] * geom.ts - geom.ch * geom.mlo
+    win_hi0 = t_idx[None, :] * geom.ts + geom.ts - 1 + geom.ch * geom.mhi
+    short_lo = jnp.zeros(zf_self.shape, jnp.int32)
+    short_hi = jnp.zeros(zf_self.shape, jnp.int32)
     for kk, (ox, oy) in enumerate(_neighbor_offsets(geom)):
         perm, valid = _plane_neighbor_perm(geom, ox, oy)
-        vmask = jnp.asarray(valid)[:, None]
-        dch = jnp.repeat(delta[:, kk, :] * bpc, geom.t_blk, axis=1)
-        below_bad = chunk_at(zmax_below[jnp.asarray(perm)],
-                             -geom.mlo - 1, -big, dch) > (zf_self - ce)
-        above_bad = chunk_at(zmin_above[jnp.asarray(perm)],
-                             stride + geom.mhi, big, dch) < (zl_self + ce)
-        bad = bad | (vmask & (below_bad | above_bad))
-    viol = jnp.sum((tile_alive & bad).astype(jnp.int32))
+        vmask = jnp.asarray(valid)[:, None] & tile_alive
+        d_rows = jnp.repeat(delta[:, kk, :] * B, geom.t_blk, axis=1)
+        zp = zcol[jnp.asarray(perm)]
+        lo_need = jax.vmap(jnp.searchsorted)(zp, zf_self - ce
+                                             ).astype(jnp.int32)
+        hi_need = jax.vmap(
+            lambda a, q: jnp.searchsorted(a, q, side="right"))(
+                zp, zl_self + ce).astype(jnp.int32) - 1
+        s_lo = win_lo0 + d_rows - lo_need          # >0: rows missing below
+        s_hi = hi_need - (win_hi0 + d_rows)        # >0: rows missing above
+        short_lo = jnp.maximum(short_lo, jnp.where(vmask, s_lo, 0))
+        short_hi = jnp.maximum(short_hi, jnp.where(vmask, s_hi, 0))
+    viol = jnp.sum(((short_lo > 0) | (short_hi > 0)).astype(jnp.int32))
+    margin_short = jnp.stack([jnp.maximum(jnp.max(short_lo), 0),
+                              jnp.maximum(jnp.max(short_hi), 0)])
     overflow = (overflow + viol)[None]
 
     if nbuilds is None:
@@ -878,7 +883,8 @@ def build_strips(state: ParticleState, geom: StripGeometry, box: Box,
         overflow=overflow,
         nbuilds=nbuilds + 1,
         delta=delta,
-        seam_src=seam[0], seam_dest=seam[1], seam_shift=seam[2])
+        seam_src=seam[0], seam_dest=seam[1], seam_shift=seam[2],
+        margin_short=margin_short)
     ret = (new_state, data)
     if extra is not None:
         ret = ret + (extra_out,)
