@@ -710,14 +710,21 @@ class Simulation:
                 self._strip_violations = nviol
                 short = getattr(self, "_margin_short", (0, 0))
                 if short[0] > 0 or short[1] > 0:
-                    # measured coverage shortfall: the re-chosen margins
-                    # get exactly the observed overshoot (+ slack chunk,
-                    # rounded in the chooser) as a future-growth
-                    # allowance — evidence-sized, converges in one or two
-                    # re-chooses without the 2x drift ladder's W blowup
+                    # measured coverage shortfall: the TRUE need observed
+                    # at the violation is (old margin rows + shortfall), so
+                    # the re-choice takes that as an ABSOLUTE floor — the
+                    # fresh re-measure already captures the evolved state,
+                    # and adding the shortfall on top of it double-counts
+                    # (measured: mlo 3->15, W 256->512, Pair 216->564 ms
+                    # on the 1M dynamic bench) while the floor converges
+                    # just as surely without the 2x drift ladder's blowup
+                    g = getattr(self, "_strip_geom", None)
+                    base = ((g.mlo * g.ch, g.mhi * g.ch)
+                            if g is not None else (0, 0))
                     prev = getattr(self, "_strip_extra", (0, 0))
-                    self._strip_extra = (max(prev[0], short[0] + 4),
-                                         max(prev[1], short[1] + 4))
+                    self._strip_extra = (
+                        max(prev[0], base[0] + short[0] + 4),
+                        max(prev[1], base[1] + short[1] + 4))
                 elif nviol > 1:
                     # violation without a measured window shortfall
                     # (column/band budget): fall back to the drift ladder

@@ -199,11 +199,13 @@ def choose_strip_geometry(box: Box, cutoff: float, dim: int, skin: float,
     step block and repays the Mosaic compile), so the chooser must
     anticipate the motion the skin already licenses.
 
-    ``extra_rows`` = (below, above) additional margin rows on top of the
-    measured need — violation recovery passes the MEASURED runtime
-    shortfall (GridData.margin_short) here, so one re-choice restores
-    coverage with margins sized by evidence instead of a doubling
-    ``drift`` ladder (which overshoots to W=384+ and halves throughput)."""
+    ``extra_rows`` = (below, above) ABSOLUTE margin-row floors — violation
+    recovery passes (old margin rows + measured shortfall + slack,
+    GridData.margin_short), the true need observed at the violation, so
+    one re-choice restores coverage with margins sized by evidence. A
+    floor (max), not an addend: the fresh re-measure already captures the
+    evolved state, and stacking the shortfall on top double-counts
+    (measured W 256->512 on the 1M dynamic bench, halving throughput)."""
     if x is None or len(x) == 0:
         return None
     lo = np.asarray(box.lo, np.float64)
@@ -516,8 +518,8 @@ def choose_strip_geometry(box: Box, cutoff: float, dim: int, skin: float,
             # tens of steps and every violation costs a frozen block + a
             # Mosaic recompile
             drift_rows = drift * skin * float(max_cnt) / max(lz, 1e-30)
-            need_lo += drift_rows + float(extra_rows[0])
-            need_hi += drift_rows + float(extra_rows[1])
+            need_lo = max(need_lo + drift_rows, float(extra_rows[0]))
+            need_hi = max(need_hi + drift_rows, float(extra_rows[1]))
 
             def chunks(need):
                 nat = max(int(math.ceil(need / ch)), 1)
