@@ -1,10 +1,11 @@
 """fix phase_change across bricks (r2 VERDICT #4): 1-brick vs 4-brick CPU
 equivalence on the bubble smoke case with events AT brick seams, insert and
 grow modes. Insert is exactly equivalent (interface counts include ghosts,
-directions use ghost image positions); grow defers events whose nearest
-vapor is a ghost — the test quantifies and bounds that deferral by the
-seam-adjacent candidate count (SURVEY §3.5; ops/phase_change.py:181-184).
-"""
+directions use ghost image positions); grow targets the nearest OWNED
+vapor (ghost targets would lose the transferred mass at the next halo
+refresh), so every seam event fires on a same-brick target and the
+1-vs-4-brick event deficit is exactly zero (SURVEY §3.5;
+ops/phase_change.py grow branch)."""
 
 import sys
 
@@ -83,17 +84,18 @@ def test_dist_phase_change_insert_matches_single():
 
 
 @pytest.mark.slow
-def test_dist_phase_change_grow_deferral_bounded():
-    """Grow mode only grows OWNED targets: an event whose nearest vapor is
-    a ghost is deferred (conservation-safe, brick-count-dependent timing —
-    r2 VERDICT weak #5). Gate: mass moves liquid->vapor in both runs, total
-    mass is conserved, and the dist event deficit is bounded by the count
-    of hot liquid within the phase-change cutoff of a brick seam."""
+def test_dist_phase_change_grow_deficit_converges():
+    """Grow mode only grows OWNED targets. r3 made the rule adaptive: an
+    event whose nearest vapor is a ghost grows the nearest OWNED vapor
+    instead of deferring (conservation-safe — a ghost update is discarded
+    at the next halo refresh while the liquid is debited; r3 VERDICT weak
+    #5 asked for convergence, not a loose bound). Gate: total mass
+    conserved, and the 1-vs-4-brick EVENT DEFICIT IS ZERO — every seam
+    event fires, on a same-brick target."""
     s1, _, e1_0, x1_0 = _run(1, "grow")
     s4, _, _, _ = _run(4, "grow")
 
     dm = s1.phase_change_config.dm
-    cut = s1.phase_change_config.cutoff
 
     m_l1 = _phase_mass(s1, 1)
     m_l4 = _phase_mass(s4, 1)
@@ -105,15 +107,9 @@ def test_dist_phase_change_grow_deferral_bounded():
     ev1 = round((_phase_mass_initial(s1, x1_0, t0) - m_l1) / dm)
     ev4 = round((_phase_mass_initial(s4, x1_0, t0) - m_l4) / dm)
     assert ev1 > 0, "no grow events fired"
-    assert ev4 <= ev1
-    # deferral bound: hot liquid (eligible at t=0) within cut of a seam
-    hot = (t0 == 1) & (e1_0 > 2.0)
-    near_seam = np.zeros(len(x1_0), bool)
-    for ax in (0, 1):
-        for c in CUTS:
-            near_seam |= np.abs(x1_0[:, ax] - c) < cut
-            near_seam |= np.abs(x1_0[:, ax] - (c % L)) < cut
-    assert ev1 - ev4 <= int((hot & near_seam).sum()), (ev1, ev4)
+    # the owned-fallback target means NO event waits on a ghost owner:
+    # the deficit must converge to zero, not merely stay bounded
+    assert ev4 == ev1, (ev1, ev4)
 
 
 def _phase_mass_initial(sim, x0, t0):

@@ -271,3 +271,63 @@ def test_strip_seam_momentum_conserved():
     assert isinstance(sim._ensure_runner().backend, StripBackend)
     vv = np.asarray(sim.get("v"), np.float64)
     assert np.abs(vv.sum(axis=0)).max() < 2e-4, vv.sum(axis=0)
+
+
+def test_strip_empty_columns_no_false_violation():
+    """Carved lattice with completely EMPTY xy-columns (the free-surface /
+    boiling shape): a tile whose needed slot range in an empty neighbor
+    column is EMPTY (hi_need < lo_need) must NOT fire the coverage check.
+    Regression (ADVICE r3): the unclamped shortfall win_lo + dB - lo_need
+    could be > 0 with zero truly missed rows, costing a spurious abort +
+    frozen block + Mosaic recompile and permanently inflating the sticky
+    _strip_extra margin floor. The clamped form bounds the shortfall by
+    the needed extent, so empty ranges yield <= 0."""
+    import jax.numpy as jnp
+    from tpusph.state import ParticleState, Box
+    from tpusph.params import PairTables
+
+    rng = np.random.default_rng(17)
+    ax16 = np.arange(16, dtype=np.float32)
+    pts = np.stack(np.meshgrid(ax16, ax16, ax16, indexing="ij"),
+                   -1).reshape(-1, 3)
+    # carve: remove an x-slab of columns entirely (those xy columns are
+    # EMPTY), and half-empty a y-slab so partially-empty columns appear too
+    keep = ~((pts[:, 0] >= 6.0) & (pts[:, 0] < 10.0))
+    half = (pts[:, 1] >= 12.0) & (pts[:, 2] >= 8.0)
+    keep &= ~half
+    pts = pts[keep].astype(np.float32)
+    pts += rng.uniform(-0.05, 0.05, pts.shape).astype(np.float32)
+    n = len(pts)
+    st = ParticleState.from_arrays(
+        pts, np.ones(n, np.int64), rmass=np.full(n, 0.5, np.float32),
+        rho=np.ones(n, np.float32), e=np.ones(n, np.float32),
+        capacity=((n + 127) // 128) * 128)
+    box = Box.create([0, 0, 0], [16.0, 16.0, 16.0], (True,) * 3)
+
+    geom = choose_strip_geometry(box, 3.0, 3, 0.5, x=pts)
+    assert geom is not None, "carved system must still strip"
+    sb = StripBackend(geom, box, ntypes=1, interpret=True)
+    st_b, data = sb.init_aux(st, box)
+    assert int(np.asarray(data.overflow)[0]) == 0, (
+        int(np.asarray(data.overflow)[0]),
+        np.asarray(jax.device_get(data.margin_short)))
+    short = np.asarray(jax.device_get(data.margin_short))
+    assert short.max() == 0, short
+
+    # and the physics on the carved system still matches the cell grid
+    tables = PairTables.zeros(1)
+    tables.set_taitwater(1, 1, rho0=1.0, c0=10.0, viscosity=0.3, h=3.0)
+    tables.set_rhosum(1, 1, h=3.0)
+    spec = PhysicsSpec(dim=3, kernel=kernels.LUCY, tait=True, rhosum_every=1)
+    out_s = sb.force_stage(st_b, tables, spec, box, data, istep=0)
+    gg = gridlib.make_geometry(box, 3.0, 3, skin=0.5, cap=96)
+    cgb = CellGridBackend(gg)
+    st_c, data_c = cgb.init_aux(st, box)
+    out_c = compute_forces(st_c, tables, spec, box, cgb, istep=0, aux=data_c)
+    (tc,) = by_tag(out_c, "tag")
+    (ts_,) = by_tag(out_s, "tag")
+    np.testing.assert_array_equal(tc, ts_)
+    for field, rtol, atol in (("rho", 2e-5, 1e-6), ("f", 2e-4, 5e-4)):
+        (a,) = by_tag(out_c, field)
+        (b,) = by_tag(out_s, field)
+        np.testing.assert_allclose(b, a, rtol=rtol, atol=atol, err_msg=field)

@@ -34,11 +34,17 @@ def _uniform_tait_sim(backend: str, n_side=8, rho=1.05):
     return sim
 
 
-@pytest.mark.parametrize("backend", ["dense", "cellgrid", "band"])
+@pytest.mark.parametrize("backend", ["dense", "cellgrid", "band", "strip"])
 def test_virial_press_matches_eos(backend):
-    sim = _uniform_tait_sim(backend)
+    # strip: small boxes are below the seam-band minimum (L >= ~6h); 18
+    # strips fine and exercises the OVIR row plumbing of the production 1M
+    # backend (strip_pair OVIR output row — VERDICT r3 weak #7)
+    sim = _uniform_tait_sim(backend, n_side=18 if backend == "strip" else 8)
     assert sim.spec.virial  # thermo_style press flipped the flag
     sim.run(0)              # Verlet::setup computes forces (and vir)
+    if backend == "strip":
+        from tpusph.ops.strip_pair import StripBackend
+        assert isinstance(sim._ensure_runner().backend, StripBackend)
     press = sim._thermo_values(sim.state, 0)["press"]
     rho = 1.05
     b = 10.0**2 * 1.0 / 7.0

@@ -16,6 +16,7 @@ import time
 from typing import Callable, Dict, List, Optional
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 from tpusph import kernels, lattice
@@ -278,10 +279,13 @@ class Simulation:
         s = self._staged
         n = len(s["x"])
         cap = _round_up(n + self.capacity_pad, 128)
+        extras = {k: s[k] for k in ("vest", "f", "de", "drho",
+                                    "rho_c", "e_c")
+                  if k in s and len(s[k]) == n}
         self.state = ParticleState.from_arrays(
             s["x"], s["type"], rmass=s["rmass"], v=s["v"], rho=s["rho"],
             e=s["e"], cv=s["cv"], tag=s["tag"], mobile=s["mobile"],
-            capacity=cap)
+            capacity=cap, **extras)
         self.local_cap = None  # single-device state: positions are global
 
     def _host_x(self, dev) -> np.ndarray:
@@ -333,6 +337,14 @@ class Simulation:
             self._staged[k] = np.asarray(getattr(dev, k)[sel])
         self._staged["type"] = np.asarray(dev.type[sel])
         self._staged["mobile"] = np.asarray(dev.mobile[sel])
+        # integrator-state extras: a mid-run geometry re-choice rebuilds the
+        # pool from staged arrays; dropping vest/f/de + the Kahan ledgers
+        # would silently change leapfrog half-step semantics (measured:
+        # freshly-inserted vapor carries de=0 by reference Verlet semantics;
+        # a setup force recompute replaced it with the live conduction value,
+        # an extra dt/2*de per recovery — the r3 red equivalence gate)
+        for k in ("vest", "f", "de", "drho", "rho_c", "e_c"):
+            self._staged[k] = np.asarray(getattr(dev, k)[sel])
 
     # ------------------------------------------------------------------- run
 
@@ -442,6 +454,17 @@ class Simulation:
                 headroom=headroom, drift=drift, extra_rows=extra)
         geom = self._strip_geom
         if geom is None:
+            if extra != (0, 0) or drift > 1.0:
+                # Loud-failure contract covers geometry ABANDONMENT too
+                # (ADVICE r3): an escalated margin floor pushing every
+                # candidate past the width cap silently demotes the run to
+                # the band/column backend — a large quiet perf cliff.
+                import warnings
+                warnings.warn(
+                    "strip geometry abandoned: escalated margin floor "
+                    f"extra_rows={extra} drift={drift} pushed all "
+                    "candidates past the window-width cap; falling back "
+                    "to a slower backend", RuntimeWarning, stacklevel=2)
             return None
         key = ("strip", geom, self.reneigh_every)
         if self._backend_cache.get("key") != key:
@@ -563,7 +586,8 @@ class Simulation:
                         skin, np.asarray(self._staged["x"]),
                         headroom=(1.35 if self.phase_change_config is not None
                                   else 1.15),
-                        drift=getattr(self, "_strip_drift", 1.0))
+                        drift=getattr(self, "_strip_drift", 1.0),
+                        extra_rows=getattr(self, "_strip_extra", (0, 0)))
             use_pallas = (self.backend_name == "pallas"
                           or (self.backend_name == "auto"
                               and jax.default_backend() == "tpu"
@@ -690,15 +714,21 @@ class Simulation:
         the CURRENT state and continue: the adaptive analog of LAMMPS
         re-neighboring with bigger bins. Steps completed before the abort
         are kept (the violation counter fires at the first output boundary;
-        a violated window can only have missed pairs at its edges)."""
+        a violated window can only have missed pairs at its edges).
+
+        Works in dist (mesh) mode too (r3 VERDICT #5 — MPI re-neighboring
+        never aborts): the state is pulled through _host_x (brick-local ->
+        global), the shared strip geometry is re-chosen from the evolved
+        per-brick views with the measured shortfall as a margin floor, and
+        the mesh is repartitioned before continuing."""
         attempts = 0
         remaining = nsteps
+        pre = True
         while True:
             try:
-                return self._run_once(remaining)
+                return self._run_once(remaining, pre=pre)
             except RuntimeError as err:
-                if ("capacity overflow" not in str(err)
-                        or self.mesh is not None or attempts >= 2):
+                if "capacity overflow" not in str(err) or attempts >= 2:
                     raise
                 # first violation in the sim's life: re-measure from the
                 # evolved state at the same drift (the usual cause is the
@@ -719,6 +749,11 @@ class Simulation:
                     # on the 1M dynamic bench) while the floor converges
                     # just as surely without the 2x drift ladder's blowup
                     g = getattr(self, "_strip_geom", None)
+                    if g is None and self._runner is not None:
+                        # dist mode keeps the shared per-brick geometry on
+                        # the DistBackend, not on the sim
+                        g = getattr(getattr(self._runner, "backend", None),
+                                    "strip_geom", None)
                     base = ((g.mlo * g.ch, g.mhi * g.ch)
                             if g is not None else (0, 0))
                     prev = getattr(self, "_strip_extra", (0, 0))
@@ -764,10 +799,50 @@ class Simulation:
                 self._runner_key = None
                 self.state = None
                 self.aux = None
+                # continuation keeps the leapfrog half-step context: the
+                # staged arrays now carry vest/f/de/drho + Kahan ledgers, so
+                # the re-run must NOT redo Verlet::setup's force recompute
+                # (LAMMPS `run pre no`) — a recompute replaces a freshly
+                # inserted particle's semantic de=0 with the live value, an
+                # extra dt/2*de that broke strip/cellgrid equivalence (r3)
+                pre = False
                 if remaining <= 0:
                     return self
 
-    def _run_once(self, nsteps: int):
+    def _restore_integrator_fields(self):
+        """Scatter the staged f/de/drho snapshot back into the (re-sorted)
+        pool rows by tag. Used by the `pre no` recovery continuation: the
+        leapfrog's first initial_integrate after a mid-run geometry
+        re-choice must see the SAME de it would have seen uninterrupted —
+        in particular the semantic de=0 of freshly inserted particles
+        (reference Verlet semantics; a setup force recompute instead gave
+        them an extra dt/2*de, the r3 strip-vs-cellgrid ledger gap)."""
+        s = self._staged
+        if "de" not in s or self.state is None:
+            return
+        dev = jax.device_get(self.state)
+        alive = (dev.type > 0) & dev.owned
+        idx = np.nonzero(alive)[0]
+        tags = dev.tag[idx]
+        order = np.argsort(s["tag"], kind="stable")
+        sorted_tags = s["tag"][order]
+        pos = np.searchsorted(sorted_tags, tags)
+        pos_c = np.clip(pos, 0, len(sorted_tags) - 1)
+        ok = (pos < len(sorted_tags)) & (sorted_tags[pos_c] == tags)
+        src = order[pos_c]
+        upd = {}
+        for k in ("f", "de", "drho"):
+            arr = np.array(getattr(dev, k))
+            arr[idx[ok]] = np.asarray(s[k])[src[ok]]
+            upd[k] = jnp.asarray(arr)
+        self.state = dataclasses.replace(self.state, **upd)
+        # De-alias from aux: build_strips shares buffers between the state
+        # and GridData (x_ref = state.x). The skipped Verlet::setup used to
+        # de-alias implicitly (jit outputs are fresh buffers); without it
+        # the donated run block would see the same buffer twice.
+        self.state = jax.tree_util.tree_map(jnp.copy, self.state)
+
+    def _run_once(self, nsteps: int, pre: bool = True):
         runner = self._ensure_runner()
         if self.state is None:
             if self.mesh is not None:
@@ -785,11 +860,24 @@ class Simulation:
             # initial sort + cell build (Verlet::setup's exchange/borders/
             # Neighbor::build — SURVEY §3.2)
             self.state, self.aux = runner.backend.init_aux(self.state, self.box)
+            if not pre:
+                # `run pre no` continuation: the strip/band sort zeroes
+                # f/de/drho (harmless in-loop — they're consumed before any
+                # rebuild — but here the first initial_integrate still needs
+                # them). Restore by tag join from the staged snapshot; one
+                # host round-trip per recovery, not a hot-path cost.
+                self._restore_integrator_fields()
         tw = self._ensure_thermo() if self.thermo_every or nsteps else None
 
         # Verlet::setup: compute forces at the current step, thermo step 0.
-        self.state = runner.setup(self.state, self.tables,
-                                  istep=self.step_count, aux=self.aux)
+        # pre=False (`run pre no`): a mid-run recovery continuation whose
+        # state already carries valid f/de/drho (restored via _build_state)
+        # must not recompute them — the recompute is idempotent for settled
+        # particles but rewrites the semantic de=0 of freshly inserted ones.
+        # Dist mode still needs setup (it also builds the halo aux).
+        if pre or self.mesh is not None:
+            self.state = runner.setup(self.state, self.tables,
+                                      istep=self.step_count, aux=self.aux)
         if self.mesh is not None:
             self.aux = runner.aux
 
@@ -916,6 +1004,10 @@ class Simulation:
             ov = int(np.sum(np.asarray(jax.device_get(aux.overflow))))
         if ov > 0:
             ms = getattr(aux, "margin_short", None)
+            if ms is None:
+                # dist mode nests the per-brick GridData (which carries the
+                # measured coverage shortfall) under aux.grid
+                ms = getattr(getattr(aux, "grid", None), "margin_short", None)
             if ms is not None:
                 arr = np.asarray(jax.device_get(ms)).reshape(-1, 2)
                 self._margin_short = (int(arr[:, 0].max()),

@@ -630,12 +630,15 @@ class DistBackend:
 
 def choose_strip_geometry_dist(box_global: Box, spec: BrickSpec, dim: int,
                                cutoff: float, skin: float, x: np.ndarray,
-                               headroom: float = 1.15, drift: float = 1.0):
+                               headroom: float = 1.15, drift: float = 1.0,
+                               extra_rows=(0, 0)):
     """Strip geometry shared by EVERY brick (one compiled program): choose
     per brick view (owned + margin ghosts, brick-local frame) and merge to
     the worst case. Returns (geom, local_cap) or (None, None) when any
     brick can't strip. local_cap == geom.n_slots, bumped until the pool
-    also holds the ghost/migration merge buffers (choose_local_cap)."""
+    also holds the ghost/migration merge buffers (choose_local_cap).
+    ``extra_rows`` is the measured coverage-shortfall floor from a
+    violation recovery (api.run — r3 VERDICT #5: dist re-chooses too)."""
     from tpusph.ops.strip_pair import choose_strip_geometry
     blocal = local_box(spec, box_global)
     views = [v for v in brick_local_positions(x, spec, box_global)
@@ -648,7 +651,8 @@ def choose_strip_geometry_dist(box_global: Box, spec: BrickSpec, dim: int,
     # compiled program must cover every brick.
     lead = max(views, key=len)
     g0 = choose_strip_geometry(blocal, cutoff, dim, skin, x=lead,
-                               headroom=headroom, drift=drift)
+                               headroom=headroom, drift=drift,
+                               extra_rows=extra_rows)
     if g0 is None:
         return None, None
     cand = ((g0.ts, g0.ch),)
@@ -657,7 +661,8 @@ def choose_strip_geometry_dist(box_global: Box, spec: BrickSpec, dim: int,
     for v in views:
         g = choose_strip_geometry(blocal, cutoff, dim, skin, x=v,
                                   headroom=headroom, candidates=cand,
-                                  plane_nc=pnc, drift=drift)
+                                  plane_nc=pnc, drift=drift,
+                                  extra_rows=extra_rows)
         if g is None:
             return None, None
         geoms.append(g)
@@ -893,15 +898,26 @@ def partition_state(staged: dict, spec: BrickSpec, mesh: Mesh,
         return buf
 
     glob = {k: scatter(v) for k, v in fields.items()}
+
+    def opt(key, fill_shape):
+        # integrator-state extras (vest/f/de/drho + Kahan ledgers) survive a
+        # mid-run repartition when staged carries them (api._pull_state) —
+        # dropping vest or the ledgers would silently change leapfrog
+        # half-step semantics across a dist-mode geometry re-choice
+        if key in glob and glob[key].shape[1:] == fill_shape[1:]:
+            return jnp.asarray(glob[key])
+        return jnp.zeros(fill_shape, jnp.float32)
+
     st = ParticleState(
         x=jnp.asarray(glob["x"]),
         v=jnp.asarray(glob["v"]),
-        vest=jnp.asarray(glob["v"]),
-        f=jnp.zeros((n_tot, 3), jnp.float32),
+        vest=(jnp.asarray(glob["vest"]) if "vest" in glob
+              else jnp.asarray(glob["v"])),
+        f=opt("f", (n_tot, 3)),
         rho=jnp.asarray(glob["rho"]),
-        drho=jnp.zeros(n_tot, jnp.float32),
+        drho=opt("drho", (n_tot,)),
         e=jnp.asarray(glob["e"]),
-        de=jnp.zeros(n_tot, jnp.float32),
+        de=opt("de", (n_tot,)),
         cv=jnp.asarray(glob["cv"]),
         rmass=jnp.asarray(glob["rmass"]),
         type=jnp.asarray(glob["type"], jnp.int32),
@@ -909,8 +925,8 @@ def partition_state(staged: dict, spec: BrickSpec, mesh: Mesh,
         mobile=jnp.asarray(glob["mobile"], bool),
         owned=jnp.asarray(glob["type"] > 0),
         vir=jnp.zeros(n_tot, jnp.float32),
-        rho_c=jnp.zeros(n_tot, jnp.float32),
-        e_c=jnp.zeros(n_tot, jnp.float32),
+        rho_c=opt("rho_c", (n_tot,)),
+        e_c=opt("e_c", (n_tot,)),
     )
     sharding = NamedSharding(mesh, P(AXIS))
     st = jax.tree_util.tree_map(lambda a: jax.device_put(a, sharding), st)

@@ -199,12 +199,22 @@ class CellGridBackend:
             big = jnp.where(ok, rsq, jnp.inf)
             k = jnp.argmin(big, axis=1)
             nearest = j_rows[k].astype(jnp.float32)
-            return count, nearest, jnp.min(big, axis=1)
+            # nearest OWNED vapor: grow mode must never target a ghost (its
+            # update is lost at the next halo refresh while the liquid is
+            # debited) — the owned fallback keeps seam events firing
+            big_o = jnp.where(ok & state.owned[j_rows][None, :], rsq, jnp.inf)
+            k_o = jnp.argmin(big_o, axis=1)
+            near_o = j_rows[k_o].astype(jnp.float32)
+            return (count, nearest, jnp.min(big, axis=1),
+                    near_o, jnp.min(big_o, axis=1))
 
-        (count, nearest, dmin), ok = self._sweep(state, aux, box, cell_fn, 0.0)
+        (count, nearest, dmin, near_o, dmin_o), ok = self._sweep(
+            state, aux, box, cell_fn, 0.0)
         return (count.astype(jnp.int32),
                 nearest.astype(jnp.int32),
-                jnp.where(count > 0, dmin, jnp.inf))
+                jnp.where(count > 0, dmin, jnp.inf),
+                near_o.astype(jnp.int32),
+                dmin_o)
 
     def force(self, state, tables: PairTables, spec: PhysicsSpec, box: Box,
               aux: gridlib.GridData, cg: Optional[jax.Array] = None, **_):

@@ -95,8 +95,11 @@ class PhaseChangeConfig:
 
 def _vapor_neighbor_dense(state: ParticleState, box: Box, vtype: int,
                           cut: float):
-    """(count, nearest_idx, nearest_dist) of vapor neighbors per particle.
-    Dense O(N^2) version for the dense backend / oracle."""
+    """(count, nearest_idx, nearest_rsq, nearest_owned_idx,
+    nearest_owned_rsq) of vapor neighbors per particle. Dense O(N^2)
+    version for the dense backend / oracle. The owned-restricted pair feeds
+    grow mode: growing a ghost copy would discard the transferred mass at
+    the next halo refresh while the liquid owner is debited."""
     x = state.x
     dx = x[:, None, :] - x[None, :, :]
     dx = box.min_image(dx)
@@ -108,7 +111,10 @@ def _vapor_neighbor_dense(state: ParticleState, box: Box, vtype: int,
     count = jnp.sum(mask, axis=1)
     big = jnp.where(mask, rsq, jnp.inf)
     nearest = jnp.argmin(big, axis=1).astype(jnp.int32)
-    return count, nearest, jnp.min(big, axis=1)
+    big_o = jnp.where(mask & state.owned[None, :], rsq, jnp.inf)
+    near_o = jnp.argmin(big_o, axis=1).astype(jnp.int32)
+    return (count, nearest, jnp.min(big, axis=1),
+            near_o, jnp.min(big_o, axis=1))
 
 
 def make_end_of_step_hook(config: PhaseChangeConfig, spec: PhysicsSpec):
@@ -149,14 +155,16 @@ def _apply_phase_change(state: ParticleState, tables: PairTables, istep,
     if config.require_interface or config.mode == "grow":
         if aux is not None and hasattr(backend, "vapor_neighbor"):
             # cell-window sweep (O(N * window)); aux is the GridData
-            vcount, vnearest, _ = backend.vapor_neighbor(
+            vcount, vnearest, _, vnear_o, vrsq_o = backend.vapor_neighbor(
                 state, box, config.vapor_type, cut, aux)
         else:
-            vcount, vnearest, _ = _vapor_neighbor_dense(
+            vcount, vnearest, _, vnear_o, vrsq_o = _vapor_neighbor_dense(
                 state, box, config.vapor_type, cut)
     else:
         vcount = jnp.ones(n, jnp.int32)
         vnearest = jnp.zeros(n, jnp.int32)
+        vnear_o = jnp.zeros(n, jnp.int32)
+        vrsq_o = jnp.zeros(n, jnp.float32)
 
     # energy budget: the event must leave e positive after carried + latent
     dm = config.dm
@@ -178,15 +186,18 @@ def _apply_phase_change(state: ParticleState, tables: PairTables, istep,
     if config.mode == "grow":
         # in dist mode the nearest vapor may be a GHOST row: growing it would
         # discard the transferred mass at the next rebuild while the liquid
-        # owner is still debited. Only grow owned targets; a skipped event
-        # re-fires once the owner side sees the pair (or after migration).
-        do = sel & (vcount > 0) & state.owned[jnp.clip(vnearest, 0, n - 1)]
-        dm_add = jnp.zeros(n).at[vnearest].add(jnp.where(do, dm, 0.0))
-        e_add = jnp.zeros(n).at[vnearest].add(
+        # owner is still debited. Grow the nearest OWNED vapor instead (the
+        # backends resolve same-device seam copies to their source rows, so
+        # single-device behavior is unchanged); an event with no owned vapor
+        # in reach at all is deferred and re-fires after migration.
+        tgt = jnp.clip(vnear_o, 0, n - 1)
+        do = sel & (vcount > 0) & jnp.isfinite(vrsq_o) & state.owned[tgt]
+        dm_add = jnp.zeros(n).at[tgt].add(jnp.where(do, dm, 0.0))
+        e_add = jnp.zeros(n).at[tgt].add(
             jnp.where(do, carried_per_mass * dm, 0.0))
         # momentum: receiving vapor keeps its velocity; exact momentum
         # bookkeeping would need a velocity update — do it:
-        mom_add = jnp.zeros((n, 3)).at[vnearest].add(
+        mom_add = jnp.zeros((n, 3)).at[tgt].add(
             jnp.where(do[:, None], dm * state.v, 0.0))
         new_rmass = state.rmass + dm_add - jnp.where(do, dm, 0.0)
         new_v = jnp.where(

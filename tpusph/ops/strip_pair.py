@@ -864,8 +864,14 @@ def build_strips(state: ParticleState, geom: StripGeometry, box: Box,
         hi_need = jax.vmap(
             lambda a, q: jnp.searchsorted(a, q, side="right"))(
                 zp, zl_self + ce).astype(jnp.int32) - 1
-        s_lo = win_lo0 + d_rows - lo_need          # >0: rows missing below
-        s_hi = hi_need - (win_hi0 + d_rows)        # >0: rows missing above
+        # Shortfall = number of NEEDED rows outside the window on each
+        # side. Clamping the window edge into the needed band makes an
+        # EMPTY needed range (hi_need < lo_need — empty or phase-separated
+        # neighbor columns) yield <= 0 instead of a false violation, and
+        # makes a window entirely past a band report the band's extent,
+        # not the window-to-band distance (ADVICE r3).
+        s_lo = jnp.minimum(win_lo0 + d_rows, hi_need + 1) - lo_need
+        s_hi = hi_need - jnp.maximum(win_hi0 + d_rows, lo_need - 1)
         short_lo = jnp.maximum(short_lo, jnp.where(vmask, s_lo, 0))
         short_hi = jnp.maximum(short_hi, jnp.where(vmask, s_hi, 0))
     viol = jnp.sum(((short_lo > 0) | (short_hi > 0)).astype(jnp.int32))
@@ -1091,7 +1097,11 @@ def make_vapor_kernel(geom: StripGeometry, vtype: int, cut: float,
     per i, (count of type-``vtype`` neighbors within ``cut``, slot of the
     nearest, its rsq). ``cut`` must be <= margin_dist (the rank windows only
     cover cutoff + skin); the caller enforces it. Output rows:
-    ORHO = count, OCGX = nearest slot, OCGY = nearest rsq (BIG if none)."""
+    ORHO = count, OCGX = nearest slot, OCGY = nearest rsq (BIG if none),
+    OFX/OFY = nearest OWNED slot / rsq (grow mode must never target a ghost
+    copy — its update is discarded by the next refresh while the liquid is
+    debited). Ownedness rides the SIGN of the slot field: the caller packs
+    slot for owned rows and -(slot+1) for ghosts."""
     W = geom.w
     ts = geom.ts
     offs = _neighbor_offsets(geom)
@@ -1115,6 +1125,8 @@ def make_vapor_kernel(geom: StripGeometry, vtype: int, cut: float,
             acc_cnt = jnp.zeros((ts,), jnp.float32)
             acc_mn = jnp.full((ts,), BIG, jnp.float32)
             acc_sl = jnp.zeros((ts,), jnp.float32)
+            acc_mn_o = jnp.full((ts,), BIG, jnp.float32)
+            acc_sl_o = jnp.zeros((ts,), jnp.float32)
             for kk, (ox, oy) in enumerate(offs):
                 sx, sy = _plane_shift(geom, ox, oy, cidx)
                 j = win_refs[kk][0, tt]        # (F, W)
@@ -1126,18 +1138,30 @@ def make_vapor_kernel(geom: StripGeometry, vtype: int, cut: float,
                 isvap = (jt > vtype - 0.5) & (jt < vtype + 0.5)
                 mask = alive_i & isvap & (rsq > 1e-12) & (rsq < cut * cut)
                 acc_cnt = acc_cnt + jnp.sum(mask.astype(jnp.float32), axis=1)
+                # slot sign encodes ownedness: slot_enc >= 0 <=> owned row
+                sl_enc = j[RSLOT, :][None, :]
+                sl_abs = jnp.where(sl_enc >= 0, sl_enc, -sl_enc - 1.0)
                 big = jnp.where(mask, rsq, BIG)
                 mn = jnp.min(big, axis=1)
                 # slot of the per-row argmin: min slot among lanes achieving
                 # the row min (two lane reductions, no argmin lowering)
-                sl = jnp.min(jnp.where(big <= mn[:, None],
-                                       j[RSLOT, :][None, :], BIG), axis=1)
+                sl = jnp.min(jnp.where(big <= mn[:, None], sl_abs, BIG),
+                             axis=1)
                 take = mn < acc_mn
                 acc_sl = jnp.where(take, sl, acc_sl)
                 acc_mn = jnp.minimum(acc_mn, mn)
+                big_o = jnp.where(mask & (sl_enc >= 0), rsq, BIG)
+                mn_o = jnp.min(big_o, axis=1)
+                sl_o = jnp.min(jnp.where(big_o <= mn_o[:, None], sl_abs, BIG),
+                               axis=1)
+                take_o = mn_o < acc_mn_o
+                acc_sl_o = jnp.where(take_o, sl_o, acc_sl_o)
+                acc_mn_o = jnp.minimum(acc_mn_o, mn_o)
             out_ref[0, tt, :, ORHO] = acc_cnt
             out_ref[0, tt, :, OCGX] = acc_sl
             out_ref[0, tt, :, OCGY] = acc_mn
+            out_ref[0, tt, :, OFX] = acc_sl_o
+            out_ref[0, tt, :, OFY] = acc_mn_o
             return carry
 
         if t_blk == 1:
@@ -1260,14 +1284,30 @@ class StripBackend(BandBackend):
             self._calls[key] = make_vapor_kernel(
                 geom, vtype, cut, interpret=self.interpret)
         fields = _state_fields(state)
-        fields["slot"] = jnp.arange(n, dtype=jnp.float32)
+        # sign-encoded slot: >= 0 owned, -(slot+1) ghost (seam copies and
+        # dist halo rows) — the kernel derives its owned-restricted argmin
+        # from the sign alone, no extra packed field
+        slot = jnp.arange(n, dtype=jnp.float32)
+        fields["slot"] = jnp.where(state.owned, slot, -slot - 1.0)
         i_arr = self._pack_i(fields)
         win = self._pack_band(fields)
         out = self._calls[key](i_arr, win, aux.delta).reshape(n, 8)
         count = out[:, ORHO].astype(jnp.int32)
         nearest = jnp.clip(out[:, OCGX], 0, n - 1).astype(jnp.int32)
         rsq = jnp.where(count > 0, out[:, OCGY], jnp.inf)
-        return count, nearest, rsq
+        near_o = jnp.clip(out[:, OFX], 0, n - 1).astype(jnp.int32)
+        rsq_o = jnp.where(out[:, OFY] < 1e29, out[:, OFY], jnp.inf)
+        # seam ghosts are SAME-DEVICE copies: resolve them to their source
+        # rows so grow mode targets the true owned particle (matching the
+        # cellgrid oracle, which sees the periodic image of the owned row)
+        if aux.seam_src is not None and aux.seam_src.shape[0] > 0:
+            owner_of = jnp.arange(n, dtype=jnp.int32).at[
+                aux.seam_dest].set(aux.seam_src, mode="drop")
+            resolved = owner_of[nearest]
+            better = state.owned[resolved] & (rsq < rsq_o)
+            near_o = jnp.where(better, resolved, near_o)
+            rsq_o = jnp.where(better, rsq, rsq_o)
+        return count, nearest, rsq, near_o, rsq_o
 
     def init_aux(self, state: ParticleState, box: Box):
         return build_strips(self.resize(state), self.geom, box)

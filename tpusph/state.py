@@ -140,9 +140,14 @@ class ParticleState:
 
     @staticmethod
     def from_arrays(x, type, rmass, *, v=None, rho=None, e=None, cv=None,
-                    tag=None, mobile=None, capacity=None) -> "ParticleState":
+                    tag=None, mobile=None, capacity=None, vest=None,
+                    f=None, de=None, drho=None, rho_c=None,
+                    e_c=None) -> "ParticleState":
         """Build a state from host arrays (read_data / create_atoms path).
-        Pads to ``capacity`` with dead slots."""
+        Pads to ``capacity`` with dead slots. The optional integrator-state
+        fields (vest/f/de/drho + Kahan ledgers) let a mid-run geometry
+        re-choice rebuild the pool WITHOUT losing the leapfrog half-step
+        context (api.run recovery, LAMMPS `run pre no` semantics)."""
         x = np.asarray(x, np.float32)
         n = x.shape[0]
         if x.shape[1] == 2:  # 2D input
@@ -164,12 +169,12 @@ class ParticleState:
         return ParticleState(
             x=jnp.asarray(xs),
             v=pad(v, 0.0, vec=True),
-            vest=pad(v, 0.0, vec=True),
-            f=pad(None, 0.0, vec=True),
+            vest=pad(vest if vest is not None else v, 0.0, vec=True),
+            f=pad(f, 0.0, vec=True),
             rho=pad(rho, 1.0),
-            drho=pad(None),
+            drho=pad(drho),
             e=pad(e, 0.0),
-            de=pad(None),
+            de=pad(de),
             cv=pad(cv, 1.0),
             rmass=pad(rmass, 1.0),
             type=pad(type, 0, np.int32),
@@ -177,7 +182,7 @@ class ParticleState:
             mobile=pad(mobile if mobile is not None else np.ones(n, bool), False, bool),
             owned=pad(np.ones(n, bool), False, bool),
             vir=pad(None),
-            rho_c=pad(None), e_c=pad(None),
+            rho_c=pad(rho_c), e_c=pad(e_c),
         )
 
     def permute(self, perm: jax.Array) -> "ParticleState":
