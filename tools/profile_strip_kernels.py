@@ -60,6 +60,34 @@ def main():
         s, sim.tables, sim.spec, sim.box, be, istep=1, aux=a))
     timeit("compute_forces(all)", frc, state, aux)
 
+    # per-sweep kernel times (r3 VERDICT #2/#3: the per-piece table) —
+    # same packed inputs, one pallas_call each
+    from tpusph.ops.pallas_pair import pack_tables
+    fields = _state_fields(state)
+    mix = be._mixed_flags(fields, aux)
+    if mix is not None:
+        fields["mix"] = mix
+    tabs = pack_tables(sim.tables)
+    i_arr = jax.block_until_ready(be._pack_i(fields))
+    band = jax.block_until_ready(be._pack_band(fields))
+    for sweep in ("rho", "cgrad", "force"):
+        fn = jax.jit(lambda ia, bd, sw=sweep: be._sweep_call(
+            sim.spec, sw, tabs, ia, bd, aux))
+        timeit(f"kernel[{sweep}]", fn, i_arr, band)
+    upd = jax.jit(lambda ia, bd, r: be._update_rows(
+        ia, bd, {"rho": r}, (11,)))  # RRHO row patch between sweeps
+    try:
+        from tpusph.ops.pallas_pair import RRHO
+        upd = jax.jit(lambda ia, bd, r: be._update_rows(
+            ia, bd, {"rho": r}, (RRHO,)))
+    except Exception:
+        pass
+    timeit("row_patch[rho]", upd, i_arr, band, state.rho)
+
+    lanes = 9 * g.w if g.dim == 3 else 3 * g.w
+    print(f"lanes/slot: {lanes} (W={g.w}); slots={g.n_slots} "
+          f"alive={int(jax.device_get(state.nlocal()))}")
+
 
 if __name__ == "__main__":
     main()

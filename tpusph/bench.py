@@ -183,8 +183,14 @@ def run_bench(n_particles: int = 1_000_000, n_steps: int = 50, dim: int = 3,
         "unit": "particle-steps/s",
         # vs_baseline divides by an ESTIMATED reference single-node LAMMPS
         # CPU throughput (5e7 p-s/s) — the reference publishes no SPH
-        # numbers (BASELINE.json "published": {}).
+        # numbers (BASELINE.json "published": {}). The estimate carries a
+        # real uncertainty band (r3 VERDICT #9): per-core O(1-5)e6 x 16-32
+        # cores spans [2e7, 1e8]; vs_baseline_range states the multiple at
+        # both ends so the north-star verdict never rests on one constant.
         "vs_baseline": round(psps / BASELINE_NODE_PSPS, 6),
+        "baseline_range": [2.0e7, 1.0e8],
+        "vs_baseline_range": [round(psps / 1.0e8, 6),
+                              round(psps / 2.0e7, 6)],
         "wall_s": round(dt_wall, 3),
         "windows_s": [round(w, 3) for w in walls],
         "rebuilds_per_window": rebuilds,
