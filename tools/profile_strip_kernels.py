@@ -33,7 +33,10 @@ def main():
     from tpusph.ops.band_pair import _state_fields
 
     sim = build_bench_sim(n, mode=mode)
-    sim.run(5)
+    # dynamic/boiling: run past the lattice-transition geometry re-choice
+    # (bench.py warms up 2 x 50 steps for the same reason) so the profile
+    # measures the PRODUCTION margin-floor geometry, not the lattice one
+    sim.run(5 if mode == "uniform" else 100)
     jax.block_until_ready(sim.state.x)
     be = sim._runner.backend
     g = be.geom
@@ -53,6 +56,19 @@ def main():
     # rebuild (sort + place + ghosts + delta)
     bld = jax.jit(lambda s: strip_pair.build_strips(s, g, sim.box))
     timeit("build_strips", bld, state)
+
+    # per-step non-force costs (the dynamic-gap remainder): seam-ghost
+    # forward-comm, the rebuild trigger check, the integrate halves
+    from tpusph import integrate
+    seam = jax.jit(lambda s, a: be.refresh_seam(s, a))
+    timeit("refresh_seam", seam, state, aux)
+    trg = jax.jit(lambda s, a: strip_pair.needs_rebuild(s, a, g.skin))
+    timeit("needs_rebuild", trg, state, aux)
+    dtj = jax.numpy.asarray(sim.dt, jax.numpy.float32)
+    ii = jax.jit(lambda s: integrate.initial_integrate(s, dtj, sim.box))
+    timeit("initial_integrate", ii, state)
+    fi = jax.jit(lambda s: integrate.final_integrate(s, dtj))
+    timeit("final_integrate", fi, state)
 
     # full force stage (rho + cgrad + force incl. packs)
     from tpusph.forces import compute_forces

@@ -946,21 +946,23 @@ class Simulation:
 
     def _timer_breakdown(self, runner, loop_time: float,
                          output_time: float) -> Dict[str, float]:
-        """Truthful Pair/Neigh/Modify/Output split for the run-end Timer
-        table (src/timer.cpp parity — SURVEY §5.1). Output is measured on the
-        host; the device remainder is split by per-phase fractions measured
-        once per compiled runner (Runner.phase_fractions). In dist mode the
-        phases run inside one shard_map region and can't be timed separately
-        — the remainder is reported as Pair (the dominant phase)."""
+        """Truthful Pair/Neigh/Comm/Modify/Output split for the run-end
+        Timer table (src/timer.cpp parity — SURVEY §5.1). Output is measured
+        on the host; the device remainder is split by per-phase fractions
+        measured once per compiled runner (Runner.phase_fractions;
+        DistRunner.phase_fractions times each phase as its own jitted
+        shard_map call, with Comm = the per-step forward halo refresh)."""
         out = min(output_time, loop_time)
         rest = max(loop_time - out, 0.0)
         breakdown = {"Output": out}
-        if self.mesh is None and self.timer_detail:
+        if self.timer_detail and hasattr(runner, "phase_fractions"):
             frac = runner.phase_fractions(self.state, self.tables, self.dt,
                                           aux=self.aux, istep=self.step_count)
             breakdown["Pair"] = rest * frac.get("Pair", 1.0)
             breakdown["Neigh"] = rest * frac.get("Neigh", 0.0)
             breakdown["Modify"] = rest * frac.get("Modify", 0.0)
+            if "Comm" in frac:
+                breakdown["Comm"] = rest * frac["Comm"]
         else:
             breakdown["Pair"] = rest
         return breakdown

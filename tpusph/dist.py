@@ -1026,6 +1026,67 @@ class DistRunner:
         self._run_block = _run_block
         self._setup_fn = _setup
         self._time = _time
+        self._phase_cache = None  # measured per-phase fractions (Timer)
+
+    def phase_fractions(self, state, tables, dt, aux=None, istep: int = 0):
+        """Measured per-phase fractions for the run-end Timer table in dist
+        mode (src/timer.cpp parity — SURVEY §5.1). The production loop is
+        ONE shard_map block, so each phase is timed as its own jitted
+        shard_map call on the same sharded state: Comm = the per-step
+        forward halo refresh alone, Neigh = prepare (rebuild decide +
+        exchange/borders + seam recopy) MINUS comm, Pair = the force
+        sweeps, Modify = the integrate halves. Cached per compiled runner —
+        the relative split is stable across a run."""
+        if self._phase_cache is not None:
+            return self._phase_cache
+        if aux is None:
+            aux = self.aux
+        from functools import partial
+        from tpusph import integrate as _integrate
+        from tpusph.forces import compute_forces as _forces
+
+        mesh, backend, box_local = self.mesh, self.backend, self.backend.box_local
+        spec = self.spec
+        sspec, rep = P(AXIS), P()
+        dt = jnp.asarray(dt, jnp.float32)
+        istep_j = jnp.asarray(istep, jnp.int32)
+
+        def smap(fn, in_specs, out_specs):
+            return jax.jit(jax.shard_map(fn, mesh=mesh, in_specs=in_specs,
+                                         out_specs=out_specs,
+                                         check_vma=False))
+
+        comm = smap(lambda s, a: backend._forward_comm(s, a),
+                    (sspec, sspec), (sspec, sspec))
+        prep = smap(lambda s, a, i: backend.prepare(s, a, i, box_local),
+                    (sspec, sspec, rep), (sspec, sspec))
+        force = smap(lambda s, t, a, i: _forces(s, t, spec, box_local,
+                                                backend, istep=i, aux=a),
+                     (sspec, rep, sspec, rep), sspec)
+        integ = smap(lambda s: _integrate.final_integrate(
+            _integrate.initial_integrate(s, dt, box_local), dt),
+            (sspec,), sspec)
+
+        phases = {}
+
+        def timeit(name, fn, *args, reps=3):
+            out = fn(*args)
+            jax.block_until_ready(jax.tree_util.tree_leaves(out)[0])
+            t0 = self._time.perf_counter()
+            for _ in range(reps):
+                out = fn(*args)
+            jax.block_until_ready(jax.tree_util.tree_leaves(out)[0])
+            phases[name] = (self._time.perf_counter() - t0) / reps
+            return out
+
+        timeit("Comm", comm, state, aux)
+        st2, aux2 = timeit("Neigh", prep, state, aux, istep_j)
+        phases["Neigh"] = max(phases["Neigh"] - phases["Comm"], 0.0)
+        timeit("Pair", force, st2, tables, aux2, istep_j)
+        timeit("Modify", integ, state)
+        total = max(sum(phases.values()), 1e-30)
+        self._phase_cache = {k: v / total for k, v in phases.items()}
+        return self._phase_cache
 
     def setup(self, state, tables, istep=0, aux=None):
         state, aux = self._setup_fn(state, tables, jnp.asarray(istep, jnp.int32))

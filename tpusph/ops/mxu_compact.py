@@ -178,11 +178,19 @@ def make_compact_force_kernel(geom: StripGeometry, spec: PhysicsSpec,
                     pos = pre - 1.0 + base                      # (1, W)
                     cnt = jnp.sum(kf)
                     # one-hot (W, P) selection; out-of-range positions
-                    # (> P-1) match no column -> dropped, counted below
-                    sel = ((pos.T == iota_p) & keep[:, None]
-                           ).astype(jnp.float32)                # (W, P)
-                    # bake the plane shift into the gathered positions
-                    Xs = X.at[RX, :].add(sx).at[RY, :].add(sy)
+                    # (> P-1) match no column -> dropped, counted below.
+                    # kf.T (f32) multiplies instead of `keep[:, None] &`:
+                    # Mosaic can't insert a minor dim on i1 vectors, and
+                    # non-kept lanes alias their predecessor's prefix value
+                    # so they must be zeroed
+                    sel = (pos.T == iota_p).astype(jnp.float32) * kf.T
+                    # bake the plane shift into the gathered positions —
+                    # via an iota row mask (`.at[row].add` lowers to
+                    # scatter-add, unimplemented in Mosaic)
+                    rowi = jax.lax.broadcasted_iota(
+                        jnp.int32, (F_ROWS, W), 0)
+                    Xs = (X + jnp.where(rowi == RX, sx, 0.0)
+                          + jnp.where(rowi == RY, sy, 0.0))
                     G = G + jnp.dot(Xs, sel,
                                     preferred_element_type=jnp.float32)
                     base = base + cnt
