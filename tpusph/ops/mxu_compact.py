@@ -80,28 +80,41 @@ def measure_union_cap(x: np.ndarray, geom: StripGeometry, box, cut: float,
     tile_z = geom.ts / max(rows_per_z, 1e-30)
     nz = max(int(np.ceil(lz / max(tile_z, 1e-30))), 1)
     tz = np.clip((z / tile_z).astype(int), 0, nz - 1)
-    best = 0
-    # candidate membership via the ball-box test against each tile box,
-    # evaluated by binning: a particle lands in every (col, slab) box it
-    # is within `cut` of — bounded by the 3x3 column reach and +-1..k slabs
+    # candidate membership via the REAL ball-box test against each tile
+    # box (particle within `cut` of the box), evaluated by binning over
+    # the 3x3 column x +-k slab reach. The distance test matters: adding
+    # a particle to every box in reach regardless of distance overcounts
+    # the union ~2-3x (measured P 4736 -> ~1500 at the 1M bench), and P
+    # multiplies BOTH the gather MACs and the physics lanes.
     kx = int(np.ceil(cut / cellx)) if cellx > 0 else 0
     ky = int(np.ceil(cut / celly)) if geom.dim == 3 and celly > 0 else 0
     kz = int(np.ceil(cut / max(tile_z, 1e-30)))
-    counts = np.zeros((geom.ncx, max(geom.ncy, 1), nz), np.int64)
+    ncy = max(geom.ncy, 1)
+    counts = np.zeros((geom.ncx, ncy, nz), np.int64)
+    xp = x[:, 0] - lo[0]
+    yp = (x[:, 1] - lo[1]) if geom.dim == 3 else np.zeros(len(x))
+    cut2 = cut * cut
+
+    def axdist(p, blo, size):
+        return np.maximum(np.maximum(blo - p, p - (blo + size)), 0.0)
+
     for dx in range(-kx, kx + 1):
         for dy in range(-ky, ky + 1):
             for dz in range(-kz, kz + 1):
-                tx = cx + dx
-                ty = cy + dy
-                tzz = tz + dz
+                tx, ty, tzz = cx + dx, cy + dy, tz + dz
+                dxc = axdist(xp, tx * cellx, cellx)
+                dyc = (axdist(yp, ty * celly, celly)
+                       if geom.dim == 3 else 0.0)
+                dzc = axdist(z, tzz * tile_z, tile_z)
+                ok = dxc * dxc + dyc * dyc + dzc * dzc < cut2
                 if geom.periodic[0]:
                     tx = tx % geom.ncx
                 if geom.dim == 3 and geom.periodic[1]:
-                    ty = ty % max(geom.ncy, 1)
+                    ty = ty % ncy
                 if geom.col_periodic:
                     tzz = tzz % nz
-                ok = (tx >= 0) & (tx < geom.ncx) & (ty >= 0) \
-                    & (ty < max(geom.ncy, 1)) & (tzz >= 0) & (tzz < nz)
+                ok &= (tx >= 0) & (tx < geom.ncx) & (ty >= 0) \
+                    & (ty < ncy) & (tzz >= 0) & (tzz < nz)
                 np.add.at(counts, (tx[ok], ty[ok], tzz[ok]), 1)
     best = int(counts.max())
     return int(-(-int(best * headroom) // 128) * 128)
@@ -153,6 +166,20 @@ def make_compact_force_kernel(geom: StripGeometry, spec: PhysicsSpec,
                 bx0, bx1 = ext(RX)
                 by0, by1 = ext(RY)
                 zmin, zmax = ext(RZ)
+                # relativize positions to the tile bbox center: the MXU
+                # gather runs as bf16-pass accumulation (~16-bit mantissa
+                # at HIGHEST), so the error is proportional to |value| —
+                # on absolute coordinates (~L) it would swamp dx; on
+                # center-relative ones (<= cell + cut + skin) it is ~1e-4
+                # absolute. The shift cancels EXACTLY in dx = xi - xj
+                # because both i_tile and the gathered tile carry it.
+                cx0 = 0.5 * (bx0 + bx1)
+                cy0 = 0.5 * (by0 + by1)
+                cz0 = 0.5 * (zmin + zmax)
+                rowf = jax.lax.broadcasted_iota(jnp.int32, (ts, F_ROWS), 1)
+                i_rel = (i_tile - jnp.where(rowf == RX, cx0, 0.0)
+                         - jnp.where(rowf == RY, cy0, 0.0)
+                         - jnp.where(rowf == RZ, cz0, 0.0))
 
                 # ---- compaction: 9 windows -> one (F, P) candidate tile
                 G = jnp.zeros((F_ROWS, P), jnp.float32)
@@ -184,21 +211,30 @@ def make_compact_force_kernel(geom: StripGeometry, spec: PhysicsSpec,
                     # non-kept lanes alias their predecessor's prefix value
                     # so they must be zeroed
                     sel = (pos.T == iota_p).astype(jnp.float32) * kf.T
-                    # bake the plane shift into the gathered positions —
-                    # via an iota row mask (`.at[row].add` lowers to
-                    # scatter-add, unimplemented in Mosaic)
+                    # bake the plane shift AND the bbox-center shift into
+                    # the gathered positions — via an iota row mask
+                    # (`.at[row].add` lowers to scatter-add, unimplemented
+                    # in Mosaic)
                     rowi = jax.lax.broadcasted_iota(
                         jnp.int32, (F_ROWS, W), 0)
-                    Xs = (X + jnp.where(rowi == RX, sx, 0.0)
-                          + jnp.where(rowi == RY, sy, 0.0))
+                    Xs = (X + jnp.where(rowi == RX, sx - cx0, 0.0)
+                          + jnp.where(rowi == RY, sy - cy0, 0.0)
+                          - jnp.where(rowi == RZ, cz0, 0.0))
+                    # HIGHEST: bf16x3-pass accumulation — the gather must
+                    # be value-faithful, default single-pass bf16 rounds
+                    # the gathered values to 8 mantissa bits (measured
+                    # 5e-2 relative force error at 1M)
                     G = G + jnp.dot(Xs, sel,
-                                    preferred_element_type=jnp.float32)
+                                    preferred_element_type=jnp.float32,
+                                    precision=jax.lax.Precision.HIGHEST)
                     base = base + cnt
                     kept_total = kept_total + cnt
 
                 # ---- the unchanged physics, once, on (ts, P) lanes
+                # (i_rel: positions center-relative, matching G; all other
+                # rows identical to i_tile)
                 parts = tile_physics.tile_part_sums(
-                    i_tile, G, (jnp.float32(0.0), jnp.float32(0.0)),
+                    i_rel, G, (jnp.float32(0.0), jnp.float32(0.0)),
                     hoist, lk, spec, "force", True)
                 for row, acc in zip((OFX, OFY, OFZ, ODRHO, ODE), parts):
                     out_ref[0, tt, :, row] = jnp.sum(acc, axis=1)
