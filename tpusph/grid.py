@@ -115,6 +115,13 @@ class GridData:
     # the host reads this to size the re-chosen margins EXACTLY (measured
     # overshoot + slack) instead of escalating a blind multiplier.
     margin_short: jax.Array | None = None
+    # strip backend only: per-slot mixed-phase-neighborhood flag for the
+    # cgrad tile skip, computed ONCE PER REBUILD (types change only via
+    # phase-change insertion, which forces a rebuild before the next force
+    # pass). Computing it per step cost O(margin-chunks x offsets) small
+    # gathers — measured as a large share of the dynamic force-stage glue
+    # at W=384 (PERFORMANCE.md r4).
+    mix: jax.Array | None = None
 
 
 def cell_coords(x: jax.Array, geom: GridGeometry) -> jax.Array:

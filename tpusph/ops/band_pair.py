@@ -633,10 +633,17 @@ class BandBackend:
         alive = state.alive
         fields = _state_fields(state)
         if spec.surface_tension:
-            mix = self._mixed_flags(fields, aux)
+            # per-tile mixed-phase flag (RMIX row): single-phase tiles
+            # skip the cgrad sweep entirely (their cg is exactly zero).
+            # The strip backend computes it once per REBUILD and carries
+            # it on the aux (GridData.mix — types change only through
+            # phase-change insertion, which forces a rebuild before the
+            # next force pass); per-step recomputation was measured at
+            # ~1/3 of the dynamic stage glue (PERFORMANCE.md r4).
+            mix = getattr(aux, "mix", None)
+            if mix is None:
+                mix = self._mixed_flags(fields, aux)
             if mix is not None:
-                # per-tile mixed-phase flag (RMIX row): single-phase tiles
-                # skip the cgrad sweep entirely (their cg is exactly zero)
                 fields["mix"] = mix
         tabs = pack_tables(tables)
         i_arr = self._pack_i(fields)

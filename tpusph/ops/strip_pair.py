@@ -1310,7 +1310,22 @@ class StripBackend(BandBackend):
         return count, nearest, rsq, near_o, rsq_o
 
     def init_aux(self, state: ParticleState, box: Box):
-        return build_strips(self.resize(state), self.geom, box)
+        state, aux = build_strips(self.resize(state), self.geom, box)
+        return state, self._attach_mix(state, aux)
+
+    def _attach_mix(self, state: ParticleState, aux: gridlib.GridData):
+        """Compute the per-slot mixed-phase cgrad-skip flag ONCE PER
+        REBUILD and carry it on the aux (GridData.mix). Types change only
+        via phase-change insertion, which blows the displacement reference
+        (ops/phase_change.py:134) so a rebuild always precedes the next
+        force pass — the flag cannot go stale. Per-step recomputation was
+        O(margin-chunks x 9 offsets) small gathers: measured ~1/3 of the
+        dynamic force-stage glue at W=384 (PERFORMANCE.md r4)."""
+        from tpusph.ops.band_pair import _state_fields
+        mix = self._mixed_flags(_state_fields(state), aux)
+        if mix is None:
+            return aux
+        return dataclasses.replace(aux, mix=mix)
 
     def refresh_seam(self, state: ParticleState, aux: gridlib.GridData):
         """Re-copy the seam-ghost bands from their source rows — the
@@ -1344,7 +1359,8 @@ class StripBackend(BandBackend):
             trigger = trigger | (jnp.asarray(istep) % self.rebuild_every == 0)
 
         def do_build(s):
-            return build_strips(s, self.geom, box, nbuilds=aux.nbuilds)
+            s2, a2 = build_strips(s, self.geom, box, nbuilds=aux.nbuilds)
+            return s2, self._attach_mix(s2, a2)
 
         state, aux = jax.lax.cond(trigger, do_build, lambda s: (s, aux),
                                   state)
