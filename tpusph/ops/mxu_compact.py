@@ -49,7 +49,7 @@ from tpusph.ops.pallas_pair import (
 from tpusph.ops import tile_physics
 from tpusph.ops.band_pair import _plane_shift
 from tpusph.ops.strip_pair import (
-    StripGeometry, _neighbor_offsets, _delta_index_map,
+    StripGeometry, _neighbor_offsets, _delta_index_map, _pack_delta,
 )
 from tpusph.params import PhysicsSpec
 
@@ -272,7 +272,8 @@ def make_compact_force_kernel(geom: StripGeometry, spec: PhysicsSpec,
 
     def call(tabs, i_arr, win, delta):
         scal, tab_mat = tabs
-        args = [delta.reshape(-1), scal, tab_mat, i_arr] + [win] * len(offs)
+        args = [_pack_delta(delta, geom.nblocks), scal, tab_mat, i_arr] \
+            + [win] * len(offs)
         return pl.pallas_call(
             kernel,
             grid_spec=pltpu.PrefetchScalarGridSpec(

@@ -242,7 +242,13 @@ def choose_strip_geometry(box: Box, cutoff: float, dim: int, skin: float,
             la = np.float32(lo[a])
             xw[:, a] = la + np.mod(x32[:, a] - la, np.float32(length[a]))
     x = xw
-    SLACK = int(__import__('os').environ.get('TPUSPH_STRIP_SLACK', '4'))
+    SLACK = int(os.environ.get('TPUSPH_STRIP_SLACK', '4'))
+    # TPUSPH_STRIP_DEBUG=1: report per-candidate kill reasons when the
+    # chooser returns None (both r4 production incidents — the 2M boiling
+    # worker crash and the 500k bubble-rise fallback — were silent
+    # all-candidates-dead outcomes of this loop)
+    dbg = os.environ.get('TPUSPH_STRIP_DEBUG', '') == '1'
+    kills: list = []
     offsets = ([(ox, oy) for ox in (-1, 0, 1) for oy in (-1, 0, 1)]
                if dim == 3 else [(ox, 0) for ox in (-1, 0, 1)])
 
@@ -448,6 +454,8 @@ def choose_strip_geometry(box: Box, cutoff: float, dim: int, skin: float,
             if best is not None and \
                     (ceil128(ch * (2 + ts // ch)) + _TILE_FIXED_LANES / ts) \
                     * (1 + 6.0 / B) > best[0][0]:
+                if dbg:
+                    kills.append((ncols, ts, ch, B, "prune", 0, 0))
                 continue
             head = int(math.ceil((nt2 * headroom + 4) / ch)) * ch \
                 if col_per else 0
@@ -457,8 +465,17 @@ def choose_strip_geometry(box: Box, cutoff: float, dim: int, skin: float,
                 (head + max_cnt * headroom + tail + ch) / B)) * B
             nblocks = col_cap // B
             # the delta tables are scalar-prefetched into SMEM (~1MB on
-            # v5e): reject layouts whose table cannot fit
-            if ncols * len(offsets) * nblocks * 4 > 512 * 1024:
+            # v5e): reject layouts whose PACKED table cannot fit. Entries
+            # are block offsets clipped to (-nblocks, nblocks), packed
+            # int8 x4 / int16 x2 per i32 word (_pack_delta) — at 2M the
+            # unpacked i32 table was 1.15MB minimum and killed EVERY
+            # candidate here (the r4 silent-fallback incident); packed it
+            # is 287KB and the 2-4M binding scale strips again.
+            smem_bytes = ncols * len(offsets) * nblocks \
+                * (32 // _delta_pack(nblocks) // 8)
+            if smem_bytes > 512 * 1024:
+                if dbg:
+                    kills.append((ncols, ts, ch, B, "smem", smem_bytes, 0))
                 continue
             qslot = er + head
             tfloor = np.floor(qslot / ts) * ts
@@ -536,6 +553,9 @@ def choose_strip_geometry(box: Box, cutoff: float, dim: int, skin: float,
             mhi = min(chunks(need_hi), nch)
             w = ch * (mlo + ts // ch + mhi)
             if w > 640:
+                if dbg:
+                    kills.append((ncols, ts, ch, B, "wcap", w,
+                                  (round(need_lo), round(need_hi))))
                 continue
             # cost: issued lanes + the per-TILE fixed cost in lane
             # equivalents, x a per-program overhead factor (r2 data: 64-row
@@ -551,6 +571,10 @@ def choose_strip_geometry(box: Box, cutoff: float, dim: int, skin: float,
                 best = (key, dict(nc), ts, ch, head, tail, col_cap,
                         mlo, mhi, t_blk)
     if best is None:
+        if dbg:
+            print("choose_strip_geometry: no candidate survived; kills:")
+            for row in kills:
+                print("   ncols=%d ts=%d ch=%d B=%d %s %s %s" % row)
         return None  # density inhomogeneity too strong: band/column win
     _, nc, ts, ch, head, tail, col_cap, mlo, mhi, t_blk = best
     mlo, mhi = pad_window_to_vreg(ts, ch, mlo, mhi, col_cap // ch)
@@ -959,6 +983,32 @@ def _pref_t_blk(ts: int) -> int:
     return max(128 // ts, 1)
 
 
+def _delta_pack(nblocks: int) -> int:
+    """Delta-table lanes per i32 SMEM word. Offsets are clipped to
+    (-nblocks, nblocks) at build time, so int8 lanes (4/word) are exact
+    whenever nblocks <= 120 (safety margin under +/-127); int16 (2/word)
+    covers any realizable nblocks. Packing is what lets the table fit
+    SMEM at the 2-4M binding scale — unpacked i32 it is >1MB there."""
+    return 4 if nblocks <= 120 else 2
+
+
+def _pack_delta(delta: jax.Array, nblocks: int) -> jax.Array:
+    """Flatten + bit-pack the (ncols, nnbr, nblocks) i32 delta table into
+    int8/int16 lanes of i32 words for SMEM prefetch (see _delta_pack).
+    Lane bit-ranges are disjoint, so a sum assembles the word."""
+    pack = _delta_pack(nblocks)
+    flat = delta.reshape(-1).astype(jnp.int32)
+    if pack == 1:
+        return flat
+    bits = 32 // pack
+    pad = (-flat.shape[0]) % pack
+    if pad:
+        flat = jnp.concatenate([flat, jnp.zeros((pad,), jnp.int32)])
+    lanes = flat.reshape(-1, pack) & jnp.int32((1 << bits) - 1)
+    sh = jnp.arange(pack, dtype=jnp.int32) * bits
+    return jnp.sum(lanes << sh[None, :], axis=1, dtype=jnp.int32)
+
+
 def _delta_index_map(geom: StripGeometry, ox: int, oy: int, kk: int):
     """Window block index map with the per-(column, neighbor, block)
     retarget offset read from the scalar-prefetched delta table.
@@ -967,14 +1017,27 @@ def _delta_index_map(geom: StripGeometry, ox: int, oy: int, kk: int):
     an SMEM-prefetched array (nnbr 9->16, nblocks->128), which inflated
     the (ncols, 9, nblocks) i32 table ~14x past the 1MB SMEM budget at
     1M particles (measured: u8[5120000] = 625x16x128x4 for a 360KB
-    table). Flat, only the single trailing dim pads."""
+    table). Flat, only the single trailing dim pads. Entries are further
+    bit-packed (_pack_delta) — the scalar core unpacks with a shift+mask
+    per block fetch, and the table shrinks 4x (2-4M fits SMEM)."""
     base = _band_index_map(geom, ox, oy)
     nblocks = geom.nblocks
     nnbr = len(_neighbor_offsets(geom))
+    pack = _delta_pack(nblocks)
+    bits = 32 // pack
 
     def imap(c, b, delta_ref):
         col, _, z0, z1 = base(c, b)
-        off = delta_ref[(c * nnbr + kk) * nblocks + b]
+        idx = (c * nnbr + kk) * nblocks + b
+        if pack == 1:
+            off = delta_ref[idx]
+        else:
+            word = delta_ref[idx // pack]
+            lane = jax.lax.shift_right_logical(
+                word, ((idx % pack) * bits).astype(jnp.int32))
+            lane = lane & jnp.int32((1 << bits) - 1)
+            off = (lane ^ jnp.int32(1 << (bits - 1))) \
+                - jnp.int32(1 << (bits - 1))
         bb = jnp.clip(b + off, 0, nblocks - 1)
         return (col, bb, z0, z1)
 
@@ -1069,8 +1132,9 @@ def make_strip_kernel(geom: StripGeometry, spec: PhysicsSpec, ntypes: int,
 
     def call(tabs, i_arr, win, delta):
         scal, tab_mat = tabs
-        # flat 1D prefetch: see _delta_index_map (SMEM minor-dim padding)
-        args = [delta.reshape(-1), scal, tab_mat, i_arr] + [win] * len(offs)
+        # flat bit-packed 1D prefetch: see _delta_index_map
+        args = [_pack_delta(delta, geom.nblocks), scal, tab_mat, i_arr] \
+            + [win] * len(offs)
         return pl.pallas_call(
             kernel,
             grid_spec=pltpu.PrefetchScalarGridSpec(
@@ -1182,8 +1246,8 @@ def make_vapor_kernel(geom: StripGeometry, vtype: int, cut: float,
                             memory_space=pltpu.VMEM)
 
     def call(i_arr, win, delta):
-        # flat 1D prefetch: see _delta_index_map (SMEM minor-dim padding)
-        args = [delta.reshape(-1), i_arr] + [win] * len(offs)
+        # flat bit-packed 1D prefetch: see _delta_index_map
+        args = [_pack_delta(delta, geom.nblocks), i_arr] + [win] * len(offs)
         return pl.pallas_call(
             kernel,
             grid_spec=pltpu.PrefetchScalarGridSpec(
