@@ -331,3 +331,34 @@ def test_strip_empty_columns_no_false_violation():
         (a,) = by_tag(out_c, field)
         (b,) = by_tag(out_s, field)
         np.testing.assert_allclose(b, a, rtol=rtol, atol=atol, err_msg=field)
+
+
+@pytest.mark.parametrize("nblocks", [17, 300])
+def test_delta_pack_roundtrip(nblocks):
+    """The SMEM delta table is bit-packed (int8 x4 / int16 x2 per i32 word
+    — what lets the 2-4M binding scale fit the ~1MB SMEM budget); the
+    window index map's shift+mask unpack must reproduce every entry,
+    including negative offsets and the lane that carries the sign bit."""
+    from tpusph.ops.strip_pair import _pack_delta, _delta_pack
+
+    rng = np.random.default_rng(3)
+    ncols, nnbr = 7, 9
+    lo, hi = -(nblocks - 1), nblocks - 1
+    delta = rng.integers(lo, hi + 1,
+                         size=(ncols, nnbr, nblocks)).astype(np.int32)
+    pack = _delta_pack(nblocks)
+    assert pack == (4 if nblocks <= 120 else 2)
+    packed = np.asarray(jax.device_get(_pack_delta(jnp_asarray(delta),
+                                                   nblocks)))
+    bits = 32 // pack
+    flat = delta.reshape(-1)
+    for idx in rng.choice(flat.size, size=200, replace=False):
+        word = packed[idx // pack]
+        lane = (word >> (bits * (idx % pack))) & ((1 << bits) - 1)
+        off = (int(lane) ^ (1 << (bits - 1))) - (1 << (bits - 1))
+        assert off == flat[idx], (idx, off, flat[idx])
+
+
+def jnp_asarray(a):
+    import jax.numpy as jnp
+    return jnp.asarray(a)

@@ -930,10 +930,22 @@ def build_strips(state: ParticleState, geom: StripGeometry, box: Box,
 # --------------------------------------------------------------------------
 
 def pack_i_strip(fields: dict, geom: StripGeometry) -> jax.Array:
-    """(ncols, ntiles, ts, F): the i-tiles. Pure reshape+stack."""
+    """(ncols, ntiles, ts, F): the i-tiles.
+
+    Assembled FIELD-MAJOR first — (F, n_slots), minor dim n_slots, zero
+    layout padding — then relayouted by ONE transpose. Stacking straight
+    into the (..., ts, F) layout made XLA materialize every field as a
+    separate (ncols, ntiles, ts, 1) temp in the kernel-facing T(8,128)
+    tiling, where the minor dim F pads 16->128: ~10 live temps x 8-128x
+    padding = 14.8GB of HLO scratch at 2M particles (measured OOM; the
+    at-rest arguments were only 267MB). The kernel-facing layout itself
+    keeps ts second-minor / F minor — tile_physics broadcasts i-columns
+    (ts, 1) against j-rows (1, W), which needs i sublane-major."""
     cols = _field_list(fields)
-    arr = jnp.stack(cols, axis=1)   # (n_slots, F)
-    return arr.reshape(geom.ncols, geom.ntiles, geom.ts, F_ROWS)
+    arr = jnp.stack(cols, axis=0)   # (F, n_slots): unpadded
+    arr = jax.lax.optimization_barrier(arr)
+    arr = arr.reshape(F_ROWS, geom.ncols, geom.ntiles, geom.ts)
+    return jnp.moveaxis(arr, 0, 3)
 
 
 def pack_window_strip(fields: dict, geom: StripGeometry) -> jax.Array:

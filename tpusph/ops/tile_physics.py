@@ -193,13 +193,26 @@ def tile_part_sums(i_tile, j_tile, shift, hoist, lk: Lookups,
     def jrow(r):
         return j_tile[r, :][None, :]    # (1, W)
 
-    oh_jt = _onehot_t(j_tile[RTYPE, :], lk.T1)       # (T1, W)
+    # LAZY one-hot: sweeps whose every table is scalar-folded (the rho
+    # sweep with a uniform cut_rho — the common case) must not pay the
+    # (T1, W) compare/convert per window; building it on first real
+    # lookup makes that a structural guarantee instead of trusting DCE.
+    _oh = []
+
+    def oh_jt():
+        if not _oh:
+            _oh.append(_onehot_t(j_tile[RTYPE, :], lk.T1))   # (T1, W)
+        return _oh[0]
 
     def c2d(name):
-        return lk.c2d(name, oh_jt)
+        if name in lk.spec.scalar_tables:
+            return lk.scal(name)
+        return lk.c2d(name, oh_jt())
 
     def cj_1d(name):
-        return lk.cj_1d(name, oh_jt)
+        if name in lk.spec.scalar_tables:
+            return lk.scal(name)
+        return lk.cj_1d(name, oh_jt())
 
     alive_i = hoist["alive_i"]
     rho_i = hoist["rho_i"]
