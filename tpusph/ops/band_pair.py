@@ -573,13 +573,27 @@ class BandBackend:
     def _update_rows(self, i_arr, band, fields, row_ids):
         """Refresh only the given F-rows of the packed arrays after a sweep
         updated their fields (rho after rhosum, cg after colorgradient) —
-        the other 13 rows are unchanged within a step."""
+        the other 13 rows are unchanged within a step. Contiguous row_ids
+        (the cg triple RCGX..RCGZ) are written in ONE slice-update per
+        array instead of one scatter pass per row: the i-array's F axis is
+        minor, so each single-row set is a stride-F scatter over the whole
+        array, and three of them tripled the patch cost (PERFORMANCE.md
+        r4 glue table)."""
         names = {RRHO: "rho", RCGX: "cg0", RCGY: "cg1", RCGZ: "cg2"}
         ish = i_arr.shape      # (ncols, ngroups|ntiles, rows, F)
-        for r in row_ids:
-            f = fields[names[r]]
-            i_arr = i_arr.at[..., r].set(f.reshape(ish[:-1]))
-            band = band.at[:-1, :, r, :].set(self._band_row(f, r))
+        row_ids = sorted(row_ids)
+        r0, r1 = row_ids[0], row_ids[-1] + 1
+        assert list(row_ids) == list(range(r0, r1)), row_ids
+        fs = [fields[names[r]] for r in row_ids]
+        iupd = jnp.stack([f.reshape(ish[:-1]) for f in fs], axis=-1)
+        i_arr = jax.lax.dynamic_update_slice_in_dim(i_arr, iupd, r0, axis=3)
+        bupd = jnp.stack([self._band_row(f, r)
+                          for r, f in zip(row_ids, fs)], axis=2)
+        # extend the update over the all-dead sentinel column (zeros keep
+        # it dead) so ONE in-place slice update covers the full band array
+        bupd = jnp.concatenate(
+            [bupd, jnp.zeros((1,) + bupd.shape[1:], bupd.dtype)], axis=0)
+        band = jax.lax.dynamic_update_slice_in_dim(band, bupd, r0, axis=2)
         return i_arr, band
 
     # -- lifecycle -----------------------------------------------------------
@@ -692,7 +706,7 @@ class BandBackend:
                                             (RCGX, RCGY, RCGZ))
 
         out = run("force")
-        f = jnp.stack([out[:, OFX], out[:, OFY], out[:, OFZ]], axis=1)
+        f = out[:, OFX:OFZ + 1]    # rows 0:3 are contiguous: one slice
         upd = dict(
             rho=rho,
             f=jnp.where(alive[:, None], f, 0.0),
