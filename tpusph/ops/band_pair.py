@@ -55,6 +55,28 @@ from tpusph.ops.pallas_pair import (
 from tpusph.params import PairTables, PhysicsSpec
 from tpusph.state import Box, ParticleState
 
+# Far-sentinel position for dead layout slots: any real-vs-dead pair fails
+# the rsq < cut^2 distance test outright (rsq ~ 4e12), and dead-vs-dead
+# pairs coincide exactly and self-exclude via rsq > 1e-12 — so the tile
+# kernels' pair liveness is a pure distance test (tile_physics
+# sentinel_dead) with no per-lane alive compares. Must stay far beyond any
+# box length +- periodic image shifts, and well inside f32 (rsq ~ 1.2e13).
+DEAD_X = 2.0e6
+
+
+def dead_lane_fill(row_id: int) -> float:
+    """Fill value for a dead window lane under the sentinel_dead contract:
+    far position (the distance kill), UNIT rho/m/cv. The units matter even
+    though dead lanes never pass the distance test: jnp.where discards a
+    dead lane's value but not a NaN produced while COMBINING it — e.g. the
+    Hu-Adams a_j = cg2_j * inv_nr_j is 0 * inf = NaN at rho_j = 0, and
+    0-coef * NaN = NaN would poison the live fold."""
+    if row_id == RX:
+        return DEAD_X
+    if row_id in (RRHO, RM, RCV):
+        return 1.0
+    return 0.0
+
 
 class BandGeometry(NamedTuple):
     """Static band-kernel geometry (hashable, part of the jit cache key).
@@ -279,6 +301,16 @@ def build_slots(state: ParticleState, geom: BandGeometry, box: Box,
         return dest.at[slot].set(a[perm], mode="drop")
 
     new_state = jax.tree_util.tree_map(scatter, state)
+    # sentinel-fill the unfilled slots (tile_physics sentinel_dead
+    # contract): far positions make the kernels' distance test the
+    # liveness test; unit rho/m/cv keep every hoisted denominator finite
+    dead = ~new_state.alive
+    new_state = dataclasses.replace(
+        new_state,
+        x=jnp.where(dead[:, None], DEAD_X, new_state.x),
+        rho=jnp.where(dead, 1.0, new_state.rho),
+        cv=jnp.where(dead, 1.0, new_state.cv),
+        rmass=jnp.where(dead, 1.0, new_state.rmass))
 
     if nbuilds is None:
         nbuilds = jnp.zeros(1, jnp.int32)
@@ -350,11 +382,17 @@ def band_row(f, row_id: int, geom: BandGeometry) -> jax.Array:
             lo = jnp.where((g_idx == 0)[None, :, None], 0.0, lo)
             hi = jnp.where((g_idx == geom.ngroups - 1)[None, :, None],
                            0.0, hi)
+        elif row_id == RX:
+            # distance-kill for the sentinel_dead kernels (type row alone
+            # no longer masks pairs)
+            lo = jnp.where((g_idx == 0)[None, :, None], DEAD_X, lo)
+            hi = jnp.where((g_idx == geom.ngroups - 1)[None, :, None],
+                           DEAD_X, hi)
     pad = geom.w_pad - geom.w_real
     pieces = [lo, a, hi]
     if pad:
-        pieces.append(jnp.zeros((geom.ncols, geom.ngroups, pad),
-                                jnp.float32))
+        pieces.append(jnp.full((geom.ncols, geom.ngroups, pad),
+                               dead_lane_fill(row_id), jnp.float32))
     return jnp.concatenate(pieces, axis=-1)
 
 
@@ -366,7 +404,10 @@ def pack_band(fields: dict, geom: BandGeometry) -> jax.Array:
     cols = _field_list(fields)
     band = jnp.stack([band_row(f, r, geom) for r, f in enumerate(cols)],
                      axis=2)
-    sentinel = jnp.zeros((1,) + band.shape[1:], jnp.float32)
+    fill = jnp.array([dead_lane_fill(r) for r in range(F_ROWS)],
+                     jnp.float32)
+    sentinel = jnp.broadcast_to(fill[None, None, :, None],
+                                (1,) + band.shape[1:])
     return jnp.concatenate([band, sentinel], axis=0)
 
 
@@ -456,14 +497,16 @@ def make_band_kernel(geom: BandGeometry, spec: PhysicsSpec, ntypes: int,
         def _body(i_tile):
             lk = tile_physics.Lookups(scal_ref, tabs2d, vec_cols, vec_rows,
                                       spec, T1)
-            hoist = tile_physics.hoist_i(i_tile, lk, spec, sweep)
+            hoist = tile_physics.hoist_i(i_tile, lk, spec, sweep,
+                                         sentinel_dead=True)
             K = tile_physics.fold_width(W)
             accs = [jnp.zeros((gc, K), jnp.float32) for _ in range(n_out)]
             for kk, (ox, oy) in enumerate(offs):
                 sx, sy = _plane_shift(geom, ox, oy, cidx)
                 j_tile = band_refs[kk][0, 0]    # (F, W)
                 parts = tile_physics.tile_part_sums(
-                    i_tile, j_tile, (sx, sy), hoist, lk, spec, sweep, True)
+                    i_tile, j_tile, (sx, sy), hoist, lk, spec, sweep, True,
+                    sentinel_dead=True)
                 accs = [a + p for a, p in zip(accs, parts)]
 
             out_rows = {"rho": (ORHO,), "cgrad": (OCGX, OCGY, ODE),
@@ -589,10 +632,13 @@ class BandBackend:
         i_arr = jax.lax.dynamic_update_slice_in_dim(i_arr, iupd, r0, axis=3)
         bupd = jnp.stack([self._band_row(f, r)
                           for r, f in zip(row_ids, fs)], axis=2)
-        # extend the update over the all-dead sentinel column (zeros keep
-        # it dead) so ONE in-place slice update covers the full band array
+        # extend the update over the all-dead sentinel column (with each
+        # row's dead-lane fill — rho must stay 1 there, see dead_lane_fill)
+        # so ONE in-place slice update covers the full band array
+        fill = jnp.array([dead_lane_fill(r) for r in row_ids], jnp.float32)
         bupd = jnp.concatenate(
-            [bupd, jnp.zeros((1,) + bupd.shape[1:], bupd.dtype)], axis=0)
+            [bupd, jnp.broadcast_to(fill[None, None, :, None],
+                                    (1,) + bupd.shape[1:])], axis=0)
         band = jax.lax.dynamic_update_slice_in_dim(band, bupd, r0, axis=2)
         return i_arr, band
 

@@ -58,7 +58,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from tpusph import grid as gridlib
 from tpusph.ops.band_pair import (
-    BandBackend, _band_index_map, _neighbor_offsets, _plane_shift,
+    DEAD_X, BandBackend, _band_index_map, _neighbor_offsets, _plane_shift,
     _field_list, needs_rebuild,
 )
 from tpusph.ops.pallas_pair import (
@@ -753,6 +753,15 @@ def build_strips(state: ParticleState, geom: StripGeometry, box: Box,
          state.owned.astype(jnp.int32), state.mobile.astype(jnp.int32)],
         axis=1)[src0]
     imat = imat.at[:, 0].set(jnp.where(occ, imat[:, 0], 0))
+    # sentinel-fill dead slots BEFORE the seam copy (valid ghost-band rows
+    # are then written over it): far positions make the kernels' distance
+    # test the liveness test (tile_physics sentinel_dead); unit rho/cv/m
+    # keep hoisted denominators finite (fmat columns: x 0:3, v 3:6,
+    # vest 6:9, rho 9, e 10, cv 11, rmass 12, rho_c 13, e_c 14)
+    dead_fill = jnp.array(
+        [DEAD_X] * 3 + [0.0] * 6 + [1.0, 0.0, 1.0, 1.0, 0.0, 0.0],
+        jnp.float32)
+    fmat = jnp.where(occ[:, None], fmat, dead_fill[None, :])
 
     # extra marker columns (dist comm bookkeeping) take the same gather
     extra_out = None
@@ -958,7 +967,11 @@ def pack_window_strip(fields: dict, geom: StripGeometry) -> jax.Array:
     cols = _field_list(fields)
     win = jnp.stack([window_row(f, r, geom) for r, f in enumerate(cols)],
                     axis=2)
-    sentinel = jnp.zeros((1,) + win.shape[1:], jnp.float32)
+    from tpusph.ops.band_pair import dead_lane_fill
+    fill = jnp.array([dead_lane_fill(r) for r in range(F_ROWS)],
+                     jnp.float32)
+    sentinel = jnp.broadcast_to(fill[None, None, :, None],
+                                (1,) + win.shape[1:])
     return jnp.concatenate([win, sentinel], axis=0)
 
 
@@ -971,10 +984,13 @@ def window_row(f, row_id: int, geom: StripGeometry) -> jax.Array:
     pieces = []
     for c in range(-geom.mlo, stride + geom.mhi):
         D = jnp.roll(C, -c, axis=1)[:, ::stride][:, :ntiles]
-        if row_id == RTYPE:
+        if row_id in (RTYPE, RX):
+            # oob chunks (rolled in from the far column end) are killed
+            # twice over: type row for the vapor kernel's type match, RX
+            # row for the sentinel_dead distance test of the pair sweeps
             ci = stride * t_idx + c
             oob = ((ci < 0) | (ci >= n32))[None, :, None]
-            D = jnp.where(oob, 0.0, D)
+            D = jnp.where(oob, DEAD_X if row_id == RX else 0.0, D)
         pieces.append(D)
     return jnp.concatenate(pieces, axis=-1)
 
@@ -1085,7 +1101,8 @@ def make_strip_kernel(geom: StripGeometry, spec: PhysicsSpec, ntypes: int,
             def _body():
                 lk = tile_physics.Lookups(scal_ref, tabs2d, vec_cols,
                                           vec_rows, spec, T1)
-                hoist = tile_physics.hoist_i(i_tile, lk, spec, sweep)
+                hoist = tile_physics.hoist_i(i_tile, lk, spec, sweep,
+                                             sentinel_dead=True)
                 K = tile_physics.fold_width(W)
                 accs = [jnp.zeros((ts, K), jnp.float32)
                         for _ in range(n_out)]
@@ -1094,7 +1111,7 @@ def make_strip_kernel(geom: StripGeometry, spec: PhysicsSpec, ntypes: int,
                     j_tile = win_refs[kk][0, tt]   # (F, W)
                     parts = tile_physics.tile_part_sums(
                         i_tile, j_tile, (sx, sy), hoist, lk, spec, sweep,
-                        True)
+                        True, sentinel_dead=True)
                     accs = [a + p for a, p in zip(accs, parts)]
 
                 out_rows = {"rho": (ORHO,), "cgrad": (OCGX, OCGY, ODE),

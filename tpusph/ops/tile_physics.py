@@ -113,10 +113,18 @@ def _gas_sound_speed(rho, e, rmass, gamma, spec: PhysicsSpec):
     return jnp.sqrt(jnp.maximum(gamma * (gamma - 1.0) * e / rmass, 0.0))
 
 
-def hoist_i(i_tile, lk: Lookups, spec: PhysicsSpec, sweep: str):
+def hoist_i(i_tile, lk: Lookups, spec: PhysicsSpec, sweep: str,
+            sentinel_dead: bool = False):
     """Per-i quantities shared across all neighbor windows of one i-tile
     (sanitized for dead rows). Returns a dict consumed by tile_part_sums;
-    sets lk.oh_i as a side effect."""
+    sets lk.oh_i as a side effect.
+
+    ``sentinel_dead``: the layout builder guarantees dead slots carry
+    far-sentinel positions (band_pair.DEAD_X) and safe denominators
+    (rho = m = cv = 1), so pair liveness is a pure DISTANCE test and the
+    per-lane alive compares/selects are dropped (build_slots/build_strips
+    contract; the mxu_compact prototype's zero-padded gather tiles keep
+    the masked path)."""
 
     def icol(r):
         return i_tile[:, r:r + 1]
@@ -124,10 +132,15 @@ def hoist_i(i_tile, lk: Lookups, spec: PhysicsSpec, sweep: str):
     lk.oh_i = _onehot(i_tile[:, RTYPE], lk.T1)
 
     h = {}
-    it = icol(RTYPE)
-    h["alive_i"] = it > 0.5
-    h["rho_i"] = jnp.where(h["alive_i"], icol(RRHO), 1.0)
-    h["m_i"] = jnp.where(h["alive_i"], icol(RM), 1.0)
+    if sentinel_dead:
+        h["alive_i"] = None
+        h["rho_i"] = icol(RRHO)
+        h["m_i"] = icol(RM)
+    else:
+        it = icol(RTYPE)
+        h["alive_i"] = it > 0.5
+        h["rho_i"] = jnp.where(h["alive_i"], icol(RRHO), 1.0)
+        h["m_i"] = jnp.where(h["alive_i"], icol(RM), 1.0)
     h["inv_rho_i"] = 1.0 / h["rho_i"]
     e_i = icol(RE)
     if sweep == "force" and (spec.tait or spec.morris
@@ -173,14 +186,16 @@ def _fold(x):
 
 
 def tile_part_sums(i_tile, j_tile, shift, hoist, lk: Lookups,
-                   spec: PhysicsSpec, sweep: str, col_shift_baked: bool):
+                   spec: PhysicsSpec, sweep: str, col_shift_baked: bool,
+                   sentinel_dead: bool = False):
     """Physics of one (ROWS x W) neighbor tile; returns the per-sweep tuple
     of (ROWS, fold_width(W)) lane-folded partial sums (see fold_width).
     Mirrors ops/pair_terms term by term.
 
     ``shift`` is (sx, sy): plane-axis periodic image shifts for this
     neighbor column; the column-axis shift is baked into the window by the
-    XLA-side band/window builder (``col_shift_baked`` documents it)."""
+    XLA-side band/window builder (``col_shift_baked`` documents it).
+    ``sentinel_dead``: see hoist_i — pair liveness by distance alone."""
     del col_shift_baked
     w_fn = kernels.kernel_w(spec.kernel, spec.dim)
     wfd_fn = kernels.kernel_wfd(spec.kernel, spec.dim)
@@ -224,15 +239,20 @@ def tile_part_sums(i_tile, j_tile, shift, hoist, lk: Lookups,
     dx1 = icol(RY) - (jrow(RY) + sy)
     dx2 = icol(RZ) - jrow(RZ)
     rsq = dx0 * dx0 + dx1 * dx1 + dx2 * dx2
-    jt = jrow(RTYPE)
-    alive_j = jt > 0.5
-    mask = (alive_i & alive_j) & (rsq > 1e-12)
+    if sentinel_dead:
+        # dead slots sit at the far sentinel (rsq ~ 1e13 >> any cut^2) and
+        # coinciding sentinels self-exclude via rsq > 1e-12: the distance
+        # test IS the liveness test — no per-lane alive compares/selects
+        mask = rsq > 1e-12
+        rho_j = jrow(RRHO)
+        m_j = m_j_raw = jrow(RM)
+    else:
+        alive_j = jrow(RTYPE) > 0.5
+        mask = (alive_i & alive_j) & (rsq > 1e-12)
+        m_j_raw = jrow(RM)
+        rho_j = jnp.where(alive_j, jrow(RRHO), 1.0)
+        m_j = jnp.where(alive_j, m_j_raw, 1.0)
     r = jnp.sqrt(jnp.maximum(rsq, 1e-30))
-    m_j_raw = jrow(RM)
-
-    # hoisted per-j quantities (sanitized)
-    rho_j = jnp.where(alive_j, jrow(RRHO), 1.0)
-    m_j = jnp.where(alive_j, m_j_raw, 1.0)
     inv_rho_j = 1.0 / rho_j
     e_j = jrow(RE)
 
