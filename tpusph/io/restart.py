@@ -34,6 +34,13 @@ class RestartSchedule(NamedTuple):
 
 
 def write_restart(path: str, sim):
+    """Dispatch by extension: ``.npz`` -> the native compressed format
+    below; anything else -> the LAMMPS binary restart layout
+    (io/lammps_restart.py; SURVEY §3.4 write_restart.cpp), matching the
+    reference convention where restart paths carry no fixed suffix."""
+    if not path.endswith(".npz"):
+        from tpusph.io.lammps_restart import write_restart_lammps
+        return write_restart_lammps(path, sim)
     import dataclasses
     import jax
     sim._pull_state()  # globalized, compact host copy of the current state
@@ -61,6 +68,14 @@ def write_restart(path: str, sim):
 
 
 def read_restart(path: str, sim):
+    """Content-sniffing dispatch: LAMMPS binary restarts open with the
+    magic tag string, .npz archives with the zip signature — so either
+    format reads through this one entry point regardless of suffix."""
+    with open(path, "rb") as fp:
+        magic = fp.read(14)
+    if magic.startswith(b"LammpS Restart"):
+        from tpusph.io.lammps_restart import read_restart_lammps
+        return read_restart_lammps(path, sim)
     import dataclasses
     import jax.numpy as jnp
     with np.load(path) as z:
