@@ -515,7 +515,11 @@ def make_band_kernel(geom: BandGeometry, spec: PhysicsSpec, ntypes: int,
                 out_rows = out_rows + (ORHO,)   # OVIR: rho row free here
             # cross-lane tree once per output (tile_physics.fold_width)
             for row, acc in zip(out_rows, accs):
-                out_ref[0, 0, :, row] = jnp.sum(acc, axis=1)
+                v = jnp.sum(acc, axis=1)
+                if sweep == "rho" and tile_physics.rho_self_in_kernel(spec):
+                    # rhosum self term folded here (tile_physics.rho_self)
+                    v = v + tile_physics.rho_self(i_tile, lk, spec)
+                out_ref[0, 0, :, row] = v
 
         # empty i-group: nothing to compute or write (dead output slots are
         # masked by the caller before they reach state)
@@ -715,21 +719,27 @@ class BandBackend:
 
         rho = state.rho
         if spec.rhosum_every > 0:
+            from tpusph.ops import tile_physics
             out = run("rho")
             rho_sum = out[:, ORHO]
-            # self term W(0), per-type scalar (no per-row table gather);
-            # x m_i per term for mass summation, or once over the whole
-            # sum for the multiphase number-density form
-            w_fn = kernels.kernel_w(spec.kernel, spec.dim)
-            sm = 1.0 if spec.rhosum_nd else state.rmass
-            w0 = jnp.zeros(n, jnp.float32)
-            for t in range(1, self.ntypes + 1):
-                cut_t = tables.cut_rho[t, t]
-                w0_t = jnp.where(cut_t > 0.0,
-                                 w_fn(jnp.zeros(()),
-                                      jnp.maximum(cut_t, 1e-30)), 0.0)
-                w0 = w0 + jnp.where(state.type == t, sm * w0_t, 0.0)
-            total = rho_sum + w0
+            if tile_physics.rho_self_in_kernel(spec):
+                # scalar-folded cut_rho: the tile kernels already added
+                # the self term to their output row (tile_physics.rho_self)
+                total = rho_sum
+            else:
+                # self term W(0), per-type scalar (no per-row table
+                # gather); x m_i per term for mass summation, or once over
+                # the whole sum for the multiphase number-density form
+                w_fn = kernels.kernel_w(spec.kernel, spec.dim)
+                sm = 1.0 if spec.rhosum_nd else state.rmass
+                w0 = jnp.zeros(n, jnp.float32)
+                for t in range(1, self.ntypes + 1):
+                    cut_t = tables.cut_rho[t, t]
+                    w0_t = jnp.where(cut_t > 0.0,
+                                     w_fn(jnp.zeros(()),
+                                          jnp.maximum(cut_t, 1e-30)), 0.0)
+                    w0 = w0 + jnp.where(state.type == t, sm * w0_t, 0.0)
+                total = rho_sum + w0
             if spec.rhosum_nd:
                 total = total * state.rmass
             recompute = (jnp.asarray(istep) % spec.rhosum_every) == 0

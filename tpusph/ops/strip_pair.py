@@ -976,22 +976,24 @@ def pack_window_strip(fields: dict, geom: StripGeometry) -> jax.Array:
 
 
 def window_row(f, row_id: int, geom: StripGeometry) -> jax.Array:
-    """One field row of the window array: (ncols, ntiles, W)."""
+    """One field row of the window array: (ncols, ntiles, W).
+
+    One dead-filled PAD of the chunk axis replaces the per-piece roll of
+    the earlier form: every window chunk is then a plain strided slice of
+    the padded array, out-of-column chunks land on the pad (whose fill is
+    the dead-lane contract — RX at the far sentinel so the distance test
+    excludes them, rho/m/cv at 1 for safe denominators, type 0 for the
+    vapor kernel's match), and no wrapped garbage ever enters the window
+    (the periodic seam is handled by the ghost bands, not by wrapping)."""
     ncols, n32, ntiles = geom.ncols, geom.n32, geom.ntiles
     stride = geom.stride
-    t_idx = jnp.arange(ntiles)
+    from tpusph.ops.band_pair import dead_lane_fill
     C = f.reshape(ncols, n32, geom.ch)
+    P = jnp.pad(C, ((0, 0), (geom.mlo, geom.mhi), (0, 0)),
+                constant_values=dead_lane_fill(row_id))
     pieces = []
-    for c in range(-geom.mlo, stride + geom.mhi):
-        D = jnp.roll(C, -c, axis=1)[:, ::stride][:, :ntiles]
-        if row_id in (RTYPE, RX):
-            # oob chunks (rolled in from the far column end) are killed
-            # twice over: type row for the vapor kernel's type match, RX
-            # row for the sentinel_dead distance test of the pair sweeps
-            ci = stride * t_idx + c
-            oob = ((ci < 0) | (ci >= n32))[None, :, None]
-            D = jnp.where(oob, DEAD_X if row_id == RX else 0.0, D)
-        pieces.append(D)
+    for k in range(geom.mlo + stride + geom.mhi):
+        pieces.append(P[:, k::stride][:, :ntiles])
     return jnp.concatenate(pieces, axis=-1)
 
 
@@ -1121,7 +1123,13 @@ def make_strip_kernel(geom: StripGeometry, spec: PhysicsSpec, ntypes: int,
                 # the cross-lane tree runs ONCE per output per tile (the
                 # per-window sums only fold — see tile_physics.fold_width)
                 for row, acc in zip(out_rows, accs):
-                    out_ref[0, tt, :, row] = jnp.sum(acc, axis=1)
+                    v = jnp.sum(acc, axis=1)
+                    if sweep == "rho" and \
+                            tile_physics.rho_self_in_kernel(spec):
+                        # fold the rhosum self term here instead of an
+                        # XLA pass over the pool (tile_physics.rho_self)
+                        v = v + tile_physics.rho_self(i_tile, lk, spec)
+                    out_ref[0, tt, :, row] = v
 
             if sweep == "cgrad":
                 # single-phase neighborhoods have exactly-zero color

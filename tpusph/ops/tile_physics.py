@@ -380,6 +380,31 @@ def tile_part_sums(i_tile, j_tile, shift, hoist, lk: Lookups,
     return outs
 
 
+def rho_self_in_kernel(spec: PhysicsSpec) -> bool:
+    """True when the tile kernels fold the rhosum SELF term m_i W(0,h)
+    into the rho sweep's output write (band_pair.force_stage then skips
+    its XLA per-type pass — measured stage glue, PERFORMANCE.md r4).
+    Only the scalar-folded cut_rho case qualifies: a per-type self cut
+    would need the DIAGONAL of the 2D table per i-row, which costs more
+    in-kernel (two one-hot contractions) than the XLA pass it replaces."""
+    return "cut_rho" in spec.scalar_tables
+
+
+def rho_self(i_tile, lk: Lookups, spec: PhysicsSpec):
+    """(ROWS,) rhosum self term under rho_self_in_kernel: m_i * W(0, h)
+    for the mass form, W(0, h) for the multiphase number-density form
+    (the x m_i happens once on the full sum outside — see
+    band_pair.force_stage). Mirrors the XLA statement there; dead rows
+    produce a nonzero value that the caller's alive mask discards."""
+    w_fn = kernels.kernel_w(spec.kernel, spec.dim)
+    cut = lk.scal("cut_rho")
+    w0 = jnp.where(cut > 0.0,
+                   w_fn(jnp.zeros(()), jnp.maximum(cut, 1e-30)), 0.0)
+    if spec.rhosum_nd:
+        return jnp.broadcast_to(w0, (i_tile.shape[0],))
+    return i_tile[:, RM] * w0
+
+
 SWEEP_N_OUT = {"rho": 1, "cgrad": 3, "force": 5}
 
 
