@@ -362,3 +362,75 @@ def test_delta_pack_roundtrip(nblocks):
 def jnp_asarray(a):
     import jax.numpy as jnp
     return jnp.asarray(a)
+
+
+def test_strip_st_skip_slab_matches_cellgrid():
+    """Spatially SEPARATED phases (z-slabs): the three-valued mix flag
+    (strip_pair.StripBackend._mixed_flags) must produce far tiles at 0.0
+    (force sweep runs the surface-tension-stripped body), dilation tiles
+    at 0.5 (ST on, cgrad skipped), and interface tiles at 1.0 — and the
+    strip force stage must still match cellgrid exactly on all of them.
+    The random-type lattice tests mark every tile mixed, so only this
+    test exercises the ST-skip branch of the strip force kernel."""
+    rng = np.random.default_rng(3)
+    dx = 0.5
+    nxy, nz = 8, 48
+    ax = np.arange(nxy) * dx
+    az = np.arange(nz) * dx
+    pts = np.stack(np.meshgrid(ax, ax, az, indexing="ij"),
+                   -1).reshape(-1, 3)
+    pts = pts + rng.uniform(-0.1 * dx, 0.1 * dx, pts.shape)
+    n = len(pts)
+    # phases split by z: interface planes at z = Lz/2 and (periodic) z = 0
+    Lz = nz * dx
+    types = np.where(pts[:, 2] < Lz / 2.0, 1, 2).astype(np.int32)
+    v = rng.normal(0, 0.05, (n, 3)).astype(np.float32)
+
+    from tpusph.state import ParticleState, Box
+    from tpusph.params import PairTables
+    st = ParticleState.from_arrays(
+        pts.astype(np.float32), types, rmass=np.full(n, 0.1), v=v,
+        rho=rng.uniform(0.9, 1.2, n).astype(np.float32),
+        e=rng.uniform(0.5, 1.5, n).astype(np.float32),
+        capacity=((n + 127) // 128) * 128)
+    L = nxy * dx
+    box = Box.create([0, 0, 0], [L, L, Lz], (True, True, True))
+    tables = PairTables.zeros(2)
+    h = 2.2 * dx
+    for i in (1, 2):
+        for j in range(i, 3):
+            tables.set_taitwater(i, j, rho0=1.0, c0=6.0, viscosity=0.4,
+                                 h=h)
+            tables.set_rhosum(i, j, h=h)
+            tables.set_heatconduction(i, j, d=0.15, h=0.9 * h)
+    tables.set_surfacetension(1, 2, sigma=0.8, h=h)
+    spec = PhysicsSpec(dim=3, kernel=kernels.WENDLAND_C2, tait=True,
+                       heatconduction=True, surface_tension=True,
+                       rhosum_every=1)
+
+    geom = choose_strip_geometry(box, tables.max_cut(), 3, 0.2,
+                                 x=pts.astype(np.float32))
+    assert geom is not None
+    sb = StripBackend(geom, box, ntypes=2, interpret=True)
+    st_b, data = sb.init_aux(st, box)
+    assert int(data.overflow[0]) == 0
+
+    # the three-valued flag must actually exercise all three bands here
+    vals = set(np.unique(np.asarray(data.mix)).tolist())
+    assert 1.0 in vals, "interface tiles must be mixed"
+    assert 0.0 in vals, (
+        "slab test must contain far tiles (ST-stripped body) — "
+        f"got flag values {vals}; enlarge nz")
+    assert 0.5 in vals, "dilation band (ST on, cgrad skip) must appear"
+
+    out_s = sb.force_stage(st_b, tables, spec, box, data, istep=0)
+    out_c = run_cellgrid_stage(st, box, tables, spec)
+    (tc,) = by_tag(out_c, "tag")
+    (ts,) = by_tag(out_s, "tag")
+    np.testing.assert_array_equal(tc, ts)
+    for field, rtol, atol in (("rho", 2e-5, 1e-6), ("f", 2e-4, 5e-4),
+                              ("drho", 2e-4, 1e-4), ("de", 2e-4, 5e-4)):
+        (a,) = by_tag(out_c, field)
+        (b,) = by_tag(out_s, field)
+        np.testing.assert_allclose(b, a, rtol=rtol, atol=atol,
+                                   err_msg=field)

@@ -1100,10 +1100,10 @@ def make_strip_kernel(geom: StripGeometry, spec: PhysicsSpec, ntypes: int,
         def tile_body(tt, carry):
             i_tile = i_ref[0, tt]              # (ts, F)
 
-            def _body():
+            def _body(bspec=spec):
                 lk = tile_physics.Lookups(scal_ref, tabs2d, vec_cols,
-                                          vec_rows, spec, T1)
-                hoist = tile_physics.hoist_i(i_tile, lk, spec, sweep,
+                                          vec_rows, bspec, T1)
+                hoist = tile_physics.hoist_i(i_tile, lk, bspec, sweep,
                                              sentinel_dead=True)
                 K = tile_physics.fold_width(W)
                 accs = [jnp.zeros((ts, K), jnp.float32)
@@ -1112,7 +1112,7 @@ def make_strip_kernel(geom: StripGeometry, spec: PhysicsSpec, ntypes: int,
                     sx, sy = _plane_shift(geom, ox, oy, cidx)
                     j_tile = win_refs[kk][0, tt]   # (F, W)
                     parts = tile_physics.tile_part_sums(
-                        i_tile, j_tile, (sx, sy), hoist, lk, spec, sweep,
+                        i_tile, j_tile, (sx, sy), hoist, lk, bspec, sweep,
                         True, sentinel_dead=True)
                     accs = [a + p for a, p in zip(accs, parts)]
 
@@ -1131,12 +1131,14 @@ def make_strip_kernel(geom: StripGeometry, spec: PhysicsSpec, ntypes: int,
                         v = v + tile_physics.rho_self(i_tile, lk, spec)
                     out_ref[0, tt, :, row] = v
 
+            alive_any = jnp.any(i_tile[:, RTYPE] > 0.5)
             if sweep == "cgrad":
                 # single-phase neighborhoods have exactly-zero color
                 # gradients: skip the window sweeps, write zeros (the out
-                # block is uninitialized memory otherwise)
-                do = jnp.any(i_tile[:, RTYPE] > 0.5) \
-                    & jnp.any(i_tile[:, RMIX] > 0.5)
+                # block is uninitialized memory otherwise). RMIX is the
+                # three-valued flag from _mixed_flags: cgrad needs the
+                # full value 1.0 (candidate region itself is mixed).
+                do = alive_any & jnp.any(i_tile[:, RMIX] > 0.75)
 
                 def _zeros():
                     for row in (OCGX, OCGY, ODE):
@@ -1144,8 +1146,24 @@ def make_strip_kernel(geom: StripGeometry, spec: PhysicsSpec, ntypes: int,
 
                 pl.when(do)(_body)
                 pl.when(jnp.logical_not(do))(_zeros)
+            elif sweep == "force" and spec.surface_tension:
+                # ST-skip split (r4 ceiling work): the capillary-stress
+                # terms are EXACTLY zero unless some candidate j (or an
+                # i row) carries a nonzero color gradient, i.e. unless
+                # the tile's RMIX >= 0.5 (the one-window dilation of the
+                # mixed flag — _mixed_flags). Far tiles (~90% of a bubble
+                # workload) run a body with surface_tension stripped,
+                # dropping ~1/3 of the force sweep's per-lane ops; the
+                # near-interface body is unchanged. Same-step exactness
+                # holds under the neighbor-list skin contract: cg can
+                # only become nonzero where the other phase moved within
+                # reach, which the skin/2 rebuild trigger bounds.
+                st_do = jnp.any(i_tile[:, RMIX] > 0.25)
+                pl.when(alive_any & st_do)(lambda: _body(spec))
+                pl.when(alive_any & jnp.logical_not(st_do))(
+                    lambda: _body(spec._replace(surface_tension=False)))
             else:
-                pl.when(jnp.any(i_tile[:, RTYPE] > 0.5))(_body)
+                pl.when(alive_any)(_body)
             return carry
 
         if t_blk == 1:
@@ -1333,10 +1351,21 @@ class StripBackend(BandBackend):
         return self._call(spec, sweep)(tabs, i_arr, band, aux.delta)
 
     def _mixed_flags(self, fields, aux=None):
-        """(n_slots,) f32: 1 where the tile's FULL candidate region (its
-        delta-shifted rank windows across the 9 neighbor columns) contains
-        more than one phase — exactly the tiles whose color gradients can
-        be nonzero."""
+        """(n_slots,) f32 three-valued flag:
+          1.0  — the tile's FULL candidate region (its delta-shifted rank
+                 windows across the 9 neighbor columns) contains more than
+                 one phase: color gradients of its rows can be nonzero,
+                 the cgrad sweep must run (kernel test RMIX > 0.75);
+          0.5  — single-phase candidate region, but some CANDIDATE tile is
+                 mixed: a candidate j can carry cg != 0, so the force
+                 sweep's surface-tension terms must still run (RMIX >
+                 0.25) while cgrad skips;
+          0.0  — no mixed tile within one window reach: capillary terms
+                 are exactly zero, the force sweep runs the ST-stripped
+                 body.
+        The 0.5 band is the one-window DILATION of the mixed flag: j's
+        cut-ball is contained in j's own tile's candidate region, so
+        mix(tile of j) = 0 implies cg_j = 0 exactly."""
         geom = self.geom
         stride = geom.stride
         bpc = geom.block_rows // geom.ch
@@ -1355,19 +1384,35 @@ class StripBackend(BandBackend):
                 outs.append(jnp.where(oob, fill, v))
             return red(jnp.stack(outs), axis=0)
 
-        maxs, mins = [], []
-        for kk, (ox, oy) in enumerate(_neighbor_offsets(geom)):
-            perm, valid = _plane_neighbor_perm(geom, ox, oy)
-            vm = jnp.asarray(valid)[:, None]
-            dch = jnp.repeat(aux.delta[:, kk, :] * bpc, geom.t_blk, axis=1)
-            wmax = win_reduce(tmax_c[jnp.asarray(perm)], jnp.max, 0.0, dch)
-            wmin = win_reduce(tmin_c[jnp.asarray(perm)], jnp.min, 99.0, dch)
-            maxs.append(jnp.where(vm, wmax, 0.0))
-            mins.append(jnp.where(vm, wmin, 99.0))
-        gmax = jnp.max(jnp.stack(maxs), axis=0)
-        gmin = jnp.min(jnp.stack(mins), axis=0)
-        mixed = (gmax > gmin + 0.5) & (gmin < 90.0)
-        return jnp.repeat(mixed.astype(jnp.float32).reshape(-1), geom.ts,
+        def win_pass(cmax, cmin):
+            """One window-reach reduction of chunk-level (max, min) phase
+            ranges -> per-tile (gmax, gmin)."""
+            maxs, mins = [], []
+            for kk, (ox, oy) in enumerate(_neighbor_offsets(geom)):
+                perm, valid = _plane_neighbor_perm(geom, ox, oy)
+                vm = jnp.asarray(valid)[:, None]
+                dch = jnp.repeat(aux.delta[:, kk, :] * bpc, geom.t_blk,
+                                 axis=1)
+                wmax = win_reduce(cmax[jnp.asarray(perm)], jnp.max, 0.0,
+                                  dch)
+                wmin = win_reduce(cmin[jnp.asarray(perm)], jnp.min, 99.0,
+                                  dch)
+                maxs.append(jnp.where(vm, wmax, 0.0))
+                mins.append(jnp.where(vm, wmin, 99.0))
+            return jnp.max(jnp.stack(maxs), axis=0), \
+                jnp.min(jnp.stack(mins), axis=0)
+
+        gmax, gmin = win_pass(tmax_c, tmin_c)
+        mixed = (gmax > gmin + 0.5) & (gmin < 90.0)      # (ncols, ntiles)
+        # dilate by one more window reach for the ST skip: chunk-level
+        # mixed (each chunk inherits its tile's flag), then the same
+        # window max — 1 where any CANDIDATE tile is mixed
+        mixed_c = jnp.repeat(mixed.astype(jnp.float32), stride, axis=1,
+                             total_repeat_length=geom.n32)
+        st_need, _ = win_pass(mixed_c, jnp.zeros_like(mixed_c))
+        flag = jnp.maximum(mixed.astype(jnp.float32),
+                           0.5 * (st_need > 0.5).astype(jnp.float32))
+        return jnp.repeat(flag.reshape(-1), geom.ts,
                           total_repeat_length=geom.n_slots)
 
     def vapor_neighbor(self, state: ParticleState, box: Box, vtype: int,
