@@ -568,6 +568,12 @@ class Simulation:
                 axis_dim=getattr(self, "_mesh_axis_dim", 0),
                 shape=getattr(self, "_mesh_shape", None),
                 axes=getattr(self, "_mesh_axes", None),
+                # the overflow remedy ("raise the dist ghost/migrate
+                # caps") — user-settable overrides of the measured-ratio
+                # defaults; also the lever for shrinking the per-brick
+                # pool when the surface-to-volume heuristic oversizes it
+                ghost_cap=getattr(self, "dist_ghost_cap", None),
+                migrate_cap=getattr(self, "dist_migrate_cap", None),
                 cuts=getattr(self, "_balance_cuts", None))
             # strip-per-brick (r2 VERDICT #3): the fast kernel inside each
             # brick. Falls back to the column kernel / cell grid when the
@@ -630,7 +636,9 @@ class Simulation:
                 self.box, self.mesh.devices.size, cutoff, skin, self.natoms,
                 axis_dim=getattr(self, "_mesh_axis_dim", 0),
                 shape=getattr(self, "_mesh_shape", None),
-                axes=getattr(self, "_mesh_axes", None))
+                axes=getattr(self, "_mesh_axes", None),
+                ghost_cap=getattr(self, "dist_ghost_cap", None),
+                migrate_cap=getattr(self, "dist_migrate_cap", None))
         spec = self.brick_spec
         x = np.asarray(self._staged["x"])
         self._balance_cuts = dist.compute_balance_cuts(

@@ -1146,7 +1146,13 @@ def make_strip_kernel(geom: StripGeometry, spec: PhysicsSpec, ntypes: int,
 
                 pl.when(do)(_body)
                 pl.when(jnp.logical_not(do))(_zeros)
-            elif sweep == "force" and spec.surface_tension:
+            elif sweep == "force" and spec.surface_tension and \
+                    not os.environ.get("TPUSPH_STRIP_NO_ST_SPLIT"):
+                # TPUSPH_STRIP_NO_ST_SPLIT=1 collapses this split to ONE
+                # full body: the split doubles the force-sweep body and
+                # with it the (Mosaic or interpret-mode XLA) compile time
+                # — compile-time-sensitive contexts (the multichip CPU
+                # dryrun) trade the far-tile lane savings away.
                 # ST-skip split (r4 ceiling work): the capillary-stress
                 # terms are EXACTLY zero unless some candidate j (or an
                 # i row) carries a nonzero color gradient, i.e. unless
