@@ -26,6 +26,15 @@ from tpusph.runner import Runner, thermo_scalars
 from tpusph.state import Box, ParticleState
 
 
+class MarginDecay(RuntimeError):
+    """Control-flow: the strip margin floor has measured, persistent slack
+    and a leaner geometry re-choice is warranted (api.run catches this and
+    continues the run exactly like a violation recovery, but with LOWER
+    floors). The reference analog: re-neighboring carries no permanent
+    penalty (SURVEY §3.2 rebuild branch) — without this path the violation
+    ratchet's W inflation is forever."""
+
+
 def _round_up(n: int, m: int) -> int:
     return ((n + m - 1) // m) * m
 
@@ -735,6 +744,21 @@ class Simulation:
         while True:
             try:
                 return self._run_once(remaining, pre=pre)
+            except MarginDecay:
+                # de-escalation re-choice (the inverse of the violation
+                # path below): _maybe_decay_margins already lowered the
+                # floors after measuring persistent slack; keep executed
+                # progress and re-choose the leaner geometry.
+                done = self._continue_after_abort()
+                attempts = 1 if done > 0 else attempts + 1
+                if attempts > 2:
+                    raise RuntimeError(
+                        "strip margin decay made no progress twice — "
+                        "decay logic bug, aborting instead of looping")
+                remaining -= done
+                pre = False
+                if remaining <= 0:
+                    return self
             except RuntimeError as err:
                 if "capacity overflow" not in str(err) or attempts >= 2:
                     raise
@@ -774,13 +798,13 @@ class Simulation:
                     self._strip_drift = min(
                         getattr(self, "_strip_drift", 1.0) * 2.0, 8.0)
                 self._margin_short = (0, 0)
-                start = self.step_count
-                done = max(getattr(self, "_last_cb_step", start) - start, 0)
-                # the runner freezes integration the step after a rebuild
-                # surfaces an overflow, so the EXECUTED count (frozen steps
-                # excluded) is the real progress — host chunk accounting
-                # overcounts by the frozen tail
-                done = min(done, getattr(self._runner, "ok_steps", done))
+                # a fresh violation episode re-arms (and resets) the
+                # margin-decay observer — the new geometry invalidates
+                # both its accumulated slack and any no-op block
+                self._decay_obs = 0
+                self._decay_need = None
+                self._decay_blocked = False
+                done = self._continue_after_abort()
                 # a growing phase (evaporation) legitimately outgrows the
                 # measured caps MANY times over a long run; every re-choose
                 # re-measures from the evolved state, so abort only on
@@ -793,20 +817,7 @@ class Simulation:
                 # epsilon every time
                 self._cap_boost = min(
                     getattr(self, "_cap_boost", 1.0) * 1.5, 4.0)
-                self.time_acc += done * self.dt
-                self.step_count += done
                 remaining -= done
-                self._pull_state()
-                # invalidate every geometry-derived cache; the next
-                # _ensure_runner re-measures from the evolved state
-                self._strip_geom_key = None
-                self._band_geom_key = None
-                self._mcap_key = None
-                self._backend_cache = {}
-                self._runner = None
-                self._runner_key = None
-                self.state = None
-                self.aux = None
                 # continuation keeps the leapfrog half-step context: the
                 # staged arrays now carry vest/f/de/drho + Kahan ledgers, so
                 # the re-run must NOT redo Verlet::setup's force recompute
@@ -816,6 +827,120 @@ class Simulation:
                 pre = False
                 if remaining <= 0:
                     return self
+
+    def _continue_after_abort(self) -> int:
+        """Shared mid-run continuation for geometry re-chooses (violation
+        escalation AND margin decay): credit the executed steps, pull the
+        state to host, and invalidate every geometry-derived cache so the
+        next _ensure_runner re-measures from the evolved state. Returns
+        the executed-step count."""
+        start = self.step_count
+        done = max(getattr(self, "_last_cb_step", start) - start, 0)
+        # the runner freezes integration the step after a rebuild
+        # surfaces an overflow, so the EXECUTED count (frozen steps
+        # excluded) is the real progress — host chunk accounting
+        # overcounts by the frozen tail
+        done = min(done, getattr(self._runner, "ok_steps", done))
+        self.time_acc += done * self.dt
+        self.step_count += done
+        self._pull_state()
+        self._strip_geom_key = None
+        self._band_geom_key = None
+        self._mcap_key = None
+        self._backend_cache = {}
+        self._runner = None
+        self._runner_key = None
+        self.state = None
+        self.aux = None
+        # rebuild counters restart under the new runner
+        self._decay_nbuilds = None
+        return done
+
+    def _current_strip_geom(self):
+        g = getattr(self, "_strip_geom", None)
+        if g is None and self._runner is not None:
+            # dist mode keeps the shared per-brick geometry on the backend
+            g = getattr(getattr(self._runner, "backend", None),
+                        "strip_geom", None)
+        return g
+
+    _DECAY_K = 3          # consecutive rebuild observations with slack
+    _DECAY_SAFETY = 4     # rows kept above the measured need
+
+    def _maybe_decay_margins(self):
+        """De-escalate the strip margin floor (the inverse of run()'s
+        violation ratchet): _strip_extra/_strip_drift only ever grew, so
+        one transient (e.g. the lattice->fluid mixing every run starts
+        with) inflated W for the rest of the sim's life — at W=384 vs 256
+        that is a permanent 1.5x lane tax on every sweep (PERFORMANCE.md
+        r4). After _DECAY_K consecutive rebuilds whose measured UNCLIPPED
+        need (GridData.margin_need) shows >= 1 chunk of slack on BOTH
+        window sides, re-choose with the floors lowered to the measured
+        need — but only if the vreg-padded window would actually shrink
+        (a same-W re-choice is a pure recompile tax and blocks further
+        decay attempts until the next violation episode)."""
+        g = self._current_strip_geom()
+        aux = self.aux
+        if g is None or aux is None:
+            return
+        prev_w = getattr(self, "_decay_prev_w", None)
+        if prev_w is not None:
+            # first observation under a decay re-choice: did it shrink?
+            self._decay_prev_w = None
+            if g.w >= prev_w:
+                self._decay_blocked = True  # chooser re-measured same W
+                return
+        need = getattr(aux, "margin_need", None)
+        nb = getattr(aux, "nbuilds", None)
+        if need is None:
+            grid = getattr(aux, "grid", None)
+            need = getattr(grid, "margin_need", None)
+            nb = getattr(grid, "nbuilds", None)
+        if need is None or nb is None:
+            return
+        nb = int(np.asarray(jax.device_get(nb)).max())
+        last = getattr(self, "_decay_nbuilds", None)
+        self._decay_nbuilds = nb
+        if last is not None and nb <= last:
+            return  # no rebuild since the last observation — no new data
+        arr = np.asarray(jax.device_get(need)).reshape(-1, 2)
+        nlo, nhi = int(arr[:, 0].max()), int(arr[:, 1].max())
+        if nlo > -g.ch or nhi > -g.ch:
+            # tight fit (or violation pending) — restart the streak
+            self._decay_obs = 0
+            self._decay_need = None
+            return
+        prev = self._decay_need if getattr(self, "_decay_need", None) \
+            else (nlo, nhi)
+        self._decay_need = (max(prev[0], nlo), max(prev[1], nhi))
+        self._decay_obs = getattr(self, "_decay_obs", 0) + 1
+        if self._decay_obs < self._DECAY_K \
+                or getattr(self, "_decay_blocked", False):
+            return
+        from tpusph.ops.strip_pair import pad_window_to_vreg
+        rows_lo = max(g.mlo * g.ch + self._decay_need[0]
+                      + self._DECAY_SAFETY, 0)
+        rows_hi = max(g.mhi * g.ch + self._decay_need[1]
+                      + self._DECAY_SAFETY, 0)
+        mlo, mhi = pad_window_to_vreg(
+            g.ts, g.ch, -(-rows_lo // g.ch), -(-rows_hi // g.ch),
+            g.col_cap // g.ch)
+        new_w = g.ts + g.ch * (mlo + mhi)
+        if new_w >= g.w:
+            # padding eats the slack — nothing to gain; stop watching
+            # until a violation episode changes the geometry
+            self._decay_blocked = True
+            return
+        self._strip_extra = (rows_lo, rows_hi)
+        self._strip_drift = 1.0
+        self._decay_obs = 0
+        self._decay_need = None
+        # if the re-choice's own fresh measure lands back at the same W,
+        # the first post-re-choice observation blocks further attempts
+        self._decay_prev_w = g.w
+        raise MarginDecay(
+            f"strip margin slack measured over {self._DECAY_K} rebuilds: "
+            f"window {g.w} -> {new_w} rows (floors {rows_lo}/{rows_hi})")
 
     def _restore_integrator_fields(self):
         """Scatter the staged f/de/drho snapshot back into the (re-sorted)
@@ -913,6 +1038,7 @@ class Simulation:
                 self.aux = aux
             self._last_cb_step = istep
             self._check_overflow()
+            self._maybe_decay_margins()
             if tw is not None and (istep % max(self.thermo_every, 1) == 0
                                    or istep in (start, last)):
                 tw.write_line(self._thermo_values(state, istep))

@@ -115,6 +115,13 @@ class GridData:
     # the host reads this to size the re-chosen margins EXACTLY (measured
     # overshoot + slack) instead of escalating a blind multiplier.
     margin_short: jax.Array | None = None
+    # strip backend only: (2,) i32 UNCLIPPED worst need-minus-window in
+    # rows (negative = slack) at the last rebuild. The margin-decay path
+    # (api._maybe_decay_margins) reads this to detect a persistently
+    # over-sized escalated floor and re-choose a leaner geometry — the
+    # escalation ratchet's one-way W inflation was most of the r4
+    # dynamic/ceiling gap (1.5x lanes at W=384 vs 256, PERFORMANCE.md).
+    margin_need: jax.Array | None = None
     # strip backend only: per-slot mixed-phase-neighborhood flag for the
     # cgrad tile skip, computed ONCE PER REBUILD (types change only via
     # phase-change insertion, which forces a rebuild before the next force

@@ -887,6 +887,14 @@ def build_strips(state: ParticleState, geom: StripGeometry, box: Box,
     win_hi0 = t_idx[None, :] * geom.ts + geom.ts - 1 + geom.ch * geom.mhi
     short_lo = jnp.zeros(zf_self.shape, jnp.int32)
     short_hi = jnp.zeros(zf_self.shape, jnp.int32)
+    # unclipped worst need-minus-window (negative = slack in rows): the
+    # margin-decay path (api._maybe_decay_margins) needs to SEE how much
+    # of an escalated margin floor goes unused; margin_short clips at 0
+    # and cannot distinguish "exactly covered" from "covered with 200
+    # rows to spare"
+    NO_NEED = jnp.int32(-(1 << 30))
+    need_lo = jnp.full(zf_self.shape, NO_NEED, jnp.int32)
+    need_hi = jnp.full(zf_self.shape, NO_NEED, jnp.int32)
     for kk, (ox, oy) in enumerate(_neighbor_offsets(geom)):
         perm, valid = _plane_neighbor_perm(geom, ox, oy)
         vmask = jnp.asarray(valid)[:, None] & tile_alive
@@ -907,9 +915,12 @@ def build_strips(state: ParticleState, geom: StripGeometry, box: Box,
         s_hi = hi_need - jnp.maximum(win_hi0 + d_rows, lo_need - 1)
         short_lo = jnp.maximum(short_lo, jnp.where(vmask, s_lo, 0))
         short_hi = jnp.maximum(short_hi, jnp.where(vmask, s_hi, 0))
+        need_lo = jnp.maximum(need_lo, jnp.where(vmask, s_lo, NO_NEED))
+        need_hi = jnp.maximum(need_hi, jnp.where(vmask, s_hi, NO_NEED))
     viol = jnp.sum(((short_lo > 0) | (short_hi > 0)).astype(jnp.int32))
     margin_short = jnp.stack([jnp.maximum(jnp.max(short_lo), 0),
                               jnp.maximum(jnp.max(short_hi), 0)])
+    margin_need = jnp.stack([jnp.max(need_lo), jnp.max(need_hi)])
     overflow = (overflow + viol)[None]
 
     if nbuilds is None:
@@ -925,7 +936,7 @@ def build_strips(state: ParticleState, geom: StripGeometry, box: Box,
         nbuilds=nbuilds + 1,
         delta=delta,
         seam_src=seam[0], seam_dest=seam[1], seam_shift=seam[2],
-        margin_short=margin_short)
+        margin_short=margin_short, margin_need=margin_need)
     ret = (new_state, data)
     if extra is not None:
         ret = ret + (extra_out,)
