@@ -246,3 +246,46 @@ def test_atom_variable_dump_column(tmp_path):
     # atom-style vars cannot be read as scalars
     with pytest.raises(ScriptError, match="per-atom"):
         interp.var_value("vsq")
+
+
+def test_thermo_modify_norm(tmp_path):
+    # `thermo_modify norm yes` divides extensive columns by natoms
+    # (src/thermo.cpp normalization); default prints totals
+    interp = Interpreter()
+    interp.sim.screen = False
+    interp.run_string(SMALL_SCRIPT)
+    sim = interp.sim
+    interp.command("velocity all create 1.0 4928459")
+    if sim.state is None:
+        sim._build_state()
+    totals = sim._thermo_values(sim.state, 0)
+    interp.command("thermo_modify norm yes")
+    per_atom = sim._thermo_values(sim.state, 0)
+    assert per_atom["ke"] == pytest.approx(totals["ke"] / sim.natoms)
+    with pytest.raises(ScriptError, match="norm"):
+        interp.command("thermo_modify norm maybe")
+
+
+def test_log_command(tmp_path):
+    interp = Interpreter()
+    interp.sim.screen = False
+    interp.run_string(SMALL_SCRIPT)
+    log = tmp_path / "log.case"
+    interp.command(f"log {log}")
+    interp.command("run 10")
+    text = log.read_text()
+    assert "Step" in text and "KinEng" in text or "ke" in text.lower()
+    # `log none` closes the mirror for subsequent runs
+    interp.command("log none")
+    assert interp.sim.log_path is None
+
+
+def test_dump_modify_sort(tmp_path):
+    interp = Interpreter()
+    interp.sim.screen = False
+    interp.run_string(SMALL_SCRIPT)
+    out = tmp_path / "d.lammpstrj"
+    interp.command(f"dump d1 all atom 10 {out}")
+    interp.command("dump_modify d1 sort id")   # satisfied: always tag-ordered
+    with pytest.raises(ScriptError, match="sort"):
+        interp.command("dump_modify d1 sort x")

@@ -81,6 +81,10 @@ class Simulation:
         # output config
         self.thermo_every: int = 0
         self.thermo_columns: List[str] = ["step", "time", "ke"]
+        # `thermo_modify norm yes`: print extensive columns (ke/pe/etotal)
+        # per atom (src/thermo.cpp normalization). Default False = totals,
+        # which is what the committed golden logs pin.
+        self.thermo_norm: bool = False
         self.custom_columns: Dict[str, Callable] = {}
         self._thermo: Optional[ThermoWriter] = None
         self.dumps: list = []
@@ -683,6 +687,8 @@ class Simulation:
         natoms = int(sc["natoms"])
         vals: Dict[str, float] = {}
         dim = self.spec.dim
+        # thermo_modify norm: extensive columns divided by natoms
+        norm_div = max(natoms, 1) if self.thermo_norm else 1
         for c in self.thermo_columns:
             if c == "step":
                 vals[c] = istep
@@ -693,11 +699,12 @@ class Simulation:
             elif c == "atoms":
                 vals[c] = natoms
             elif c == "ke":
-                vals[c] = float(sc["ke"])
+                vals[c] = float(sc["ke"]) / norm_div
             elif c == "pe":
-                vals[c] = float(sc["ie"])  # internal energy plays PE's role
+                # internal energy plays PE's role
+                vals[c] = float(sc["ie"]) / norm_div
             elif c == "etotal":
-                vals[c] = float(sc["ke"]) + float(sc["ie"])
+                vals[c] = (float(sc["ke"]) + float(sc["ie"])) / norm_div
             elif c == "temp":
                 vals[c] = 2.0 * float(sc["ke"]) / max(dim * natoms, 1)
             elif c == "density":
@@ -749,6 +756,7 @@ class Simulation:
                 # path below): _maybe_decay_margins already lowered the
                 # floors after measuring persistent slack; keep executed
                 # progress and re-choose the leaner geometry.
+                self._strip_decays = getattr(self, "_strip_decays", 0) + 1
                 done = self._continue_after_abort()
                 attempts = 1 if done > 0 else attempts + 1
                 if attempts > 2:

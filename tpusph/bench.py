@@ -147,16 +147,31 @@ def run_bench(n_particles: int = 1_000_000, n_steps: int = 50, dim: int = 3,
                           backend=backend, mode=mode)
     n = sim.natoms
 
+    def _rechoices():
+        # escalations (violation recovery) + de-escalations (margin decay)
+        return (getattr(sim, "_strip_violations", 0)
+                + getattr(sim, "_strip_decays", 0))
+
     sim.run(n_steps)  # warmup: compiles the run block + first rebuilds
     jax.block_until_ready(sim.state.x)
+    warmup_windows = 1
     if mode in ("dynamic", "boiling"):
-        # second warmup window: the initial lattice mixes into a fluid over
-        # the first ~n_steps, which can change the measured strip margins
-        # and trigger ONE geometry re-choice (api.run's overflow recovery).
-        # Run it here so the re-choice + recompile land in warmup, not in a
-        # timed window.
-        sim.run(n_steps)
-        jax.block_until_ready(sim.state.x)
+        # ADAPTIVE warmup (r4 VERDICT weak #3: a fixed second window let a
+        # re-choice leak into the first timed window): the initial lattice
+        # mixes into a fluid over the first ~n_steps, which can escalate
+        # the strip margins (violation recovery), and a few windows later
+        # the margin DECAY re-chooses a leaner geometry once the transient
+        # slack is measured. Keep running warmup windows until one passes
+        # with NO geometry re-choice, so every escalation/decay recompile
+        # lands outside the timed region.
+        import os
+        cap = int(os.environ.get("TPUSPH_BENCH_WARMUP_MAX", "8"))
+        prev = -1
+        while warmup_windows < cap and _rechoices() != prev:
+            prev = _rechoices()
+            sim.run(n_steps)
+            jax.block_until_ready(sim.state.x)
+            warmup_windows += 1
 
     walls, rebuilds = [], []
     for _ in range(n_windows):
@@ -194,10 +209,15 @@ def run_bench(n_particles: int = 1_000_000, n_steps: int = 50, dim: int = 3,
         "wall_s": round(dt_wall, 3),
         "windows_s": [round(w, 3) for w in walls],
         "rebuilds_per_window": rebuilds,
-        # strip coverage violations over the whole run (each one froze a
-        # block and re-chose the geometry — nonzero here means some window
-        # times include a re-choose + compile)
-        "geometry_rechoices": getattr(sim, "_strip_violations", 0),
+        # strip geometry re-chooses over the whole run: escalations
+        # (coverage violations) + margin decays. The adaptive warmup keeps
+        # them out of the timed windows; warmup_windows says how many it
+        # took to stabilize.
+        "geometry_rechoices": _rechoices(),
+        "geometry_decays": getattr(sim, "_strip_decays", 0),
+        "warmup_windows": warmup_windows,
+        "strip_w": (lambda g: g.w if g is not None else None)(
+            sim._current_strip_geom()),
         "steps": n_steps,
         "particles": int(n),
         "device": str(jax.devices()[0]),

@@ -1401,9 +1401,12 @@ class StripBackend(BandBackend):
                 outs.append(jnp.where(oob, fill, v))
             return red(jnp.stack(outs), axis=0)
 
-        def win_pass(cmax, cmin):
+        def win_pass(cmax, cmin=None):
             """One window-reach reduction of chunk-level (max, min) phase
-            ranges -> per-tile (gmax, gmin)."""
+            ranges -> per-tile (gmax, gmin). ``cmin=None`` skips the min
+            branch entirely — the ST dilation only consumes the max, and
+            the discarded min cost a full window-min reduction (9 offsets
+            x window chunks) per rebuild (ADVICE r4)."""
             maxs, mins = [], []
             for kk, (ox, oy) in enumerate(_neighbor_offsets(geom)):
                 perm, valid = _plane_neighbor_perm(geom, ox, oy)
@@ -1412,12 +1415,15 @@ class StripBackend(BandBackend):
                                  axis=1)
                 wmax = win_reduce(cmax[jnp.asarray(perm)], jnp.max, 0.0,
                                   dch)
-                wmin = win_reduce(cmin[jnp.asarray(perm)], jnp.min, 99.0,
-                                  dch)
                 maxs.append(jnp.where(vm, wmax, 0.0))
-                mins.append(jnp.where(vm, wmin, 99.0))
-            return jnp.max(jnp.stack(maxs), axis=0), \
-                jnp.min(jnp.stack(mins), axis=0)
+                if cmin is not None:
+                    wmin = win_reduce(cmin[jnp.asarray(perm)], jnp.min,
+                                      99.0, dch)
+                    mins.append(jnp.where(vm, wmin, 99.0))
+            gmax = jnp.max(jnp.stack(maxs), axis=0)
+            if cmin is None:
+                return gmax, None
+            return gmax, jnp.min(jnp.stack(mins), axis=0)
 
         gmax, gmin = win_pass(tmax_c, tmin_c)
         mixed = (gmax > gmin + 0.5) & (gmin < 90.0)      # (ncols, ntiles)
@@ -1426,7 +1432,7 @@ class StripBackend(BandBackend):
         # window max — 1 where any CANDIDATE tile is mixed
         mixed_c = jnp.repeat(mixed.astype(jnp.float32), stride, axis=1,
                              total_repeat_length=geom.n32)
-        st_need, _ = win_pass(mixed_c, jnp.zeros_like(mixed_c))
+        st_need, _ = win_pass(mixed_c)
         flag = jnp.maximum(mixed.astype(jnp.float32),
                            0.5 * (st_need > 0.5).astype(jnp.float32))
         return jnp.repeat(flag.reshape(-1), geom.ts,

@@ -26,7 +26,7 @@ from tpusph.api import Simulation
 _IGNORED = {
     # parallel/runtime knobs superseded by the TPU runtime
     "processors", "comm_modify", "comm_style", "suffix", "package",
-    "atom_modify", "log", "echo", "info",
+    "atom_modify", "echo", "info",
 }
 
 
@@ -675,7 +675,47 @@ class Interpreter:
         self.sim.thermo_style(cols)
 
     def cmd_thermo_modify(self, a):
-        pass  # norm/flush knobs: accepted
+        # src/thermo.cpp modify_params: `norm yes|no` changes extensive-
+        # column normalization (ke/pe/etotal printed per atom). Other knobs
+        # (flush, lost, format) have no TPU-side meaning and are accepted.
+        i = 0
+        while i < len(a):
+            if a[i] == "norm":
+                if i + 1 >= len(a) or a[i + 1] not in ("yes", "no"):
+                    raise ScriptError("thermo_modify norm expects yes|no")
+                self.sim.thermo_norm = a[i + 1] == "yes"
+                i += 2
+            elif a[i] in ("flush", "lost"):
+                i += 2
+            elif a[i] == "format":
+                i += 3
+            else:
+                i += 2  # unknown knob + value: accepted
+
+    def cmd_log(self, a):
+        # src/lammps.cpp `log` command: redirect the thermo log mirror.
+        # `log none` closes it. Takes effect for subsequent runs (the
+        # writer re-opens with the new path).
+        path = a[0] if a else "log.lammps"
+        self.sim.log_path = None if path == "none" else path
+        self.sim._thermo = None  # re-open the writer with the new path
+
+    def cmd_dump_modify(self, a):
+        # `dump_modify <id> sort id` — dumps are ALWAYS written in tag
+        # order here (io/dump.py), so `sort id` is validated-and-satisfied;
+        # any other sort mode cannot be honored and fails loudly.
+        if not a:
+            raise ScriptError("dump_modify needs a dump id")
+        i = 1
+        while i < len(a):
+            if a[i] == "sort":
+                if i + 1 >= len(a) or a[i + 1] != "id":
+                    raise ScriptError(
+                        "dump_modify sort: only 'id' is supported (dumps "
+                        "are always tag-ordered)")
+                i += 2
+            else:
+                i += 2  # first/pad/every/format knobs: accepted
 
     def cmd_variable(self, a):
         name, kind = a[0], a[1]
