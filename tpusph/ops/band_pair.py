@@ -49,7 +49,7 @@ from tpusph import grid as gridlib
 from tpusph import kernels
 from tpusph.ops.pallas_pair import (
     F_ROWS, RX, RY, RZ, RVX, RVY, RVZ, RRHO, RE, RM, RTYPE, RCGX, RCGY, RCGZ,
-    RCV, OFX, OFY, OFZ, ODRHO, ODE, ORHO, OCGX, OCGY,
+    RCV, RMIX, RSLOT, OFX, OFY, OFZ, ODRHO, ODE, ORHO, OCGX, OCGY,
     _TABLES_1D, _TABLES_2D, _onehot, _onehot_t, pack_tables,
 )
 from tpusph.params import PairTables, PhysicsSpec
@@ -341,16 +341,23 @@ def needs_rebuild(state: ParticleState, data: gridlib.GridData,
 # --------------------------------------------------------------------------
 
 def _field_list(fields: dict):
-    """Ordered F_ROWS field arrays ((n_slots,) each) per the R* row ids."""
+    """Ordered F_ROWS field arrays ((n_slots,) each) per the R* row ids.
+    (Row order is the narrow-fetch contract in pallas_pair: rho/cgrad/
+    vapor-needed rows first — keep in sync with the R* constants.)"""
     n = fields["x0"].shape[0]
     z = jnp.zeros(n, jnp.float32)
-    cols = [fields["x0"], fields["x1"], fields["x2"],
-            fields["v0"], fields["v1"], fields["v2"],
-            fields["rho"], fields["e"], fields["m"], fields["type_f"],
-            fields.get("cg0", z), fields.get("cg1", z), fields.get("cg2", z),
-            fields["cv"], fields.get("mix", z), fields.get("slot", z)]
-    cols += [z] * (F_ROWS - len(cols))
-    return cols
+    cols = [None] * F_ROWS
+    cols[RX], cols[RY], cols[RZ] = fields["x0"], fields["x1"], fields["x2"]
+    cols[RM], cols[RTYPE], cols[RRHO] = (fields["m"], fields["type_f"],
+                                         fields["rho"])
+    cols[RSLOT] = fields.get("slot", z)
+    cols[RMIX] = fields.get("mix", z)
+    cols[RVX], cols[RVY], cols[RVZ] = fields["v0"], fields["v1"], fields["v2"]
+    cols[RE], cols[RCV] = fields["e"], fields["cv"]
+    cols[RCGX] = fields.get("cg0", z)
+    cols[RCGY] = fields.get("cg1", z)
+    cols[RCGZ] = fields.get("cg2", z)
+    return [z if c is None else c for c in cols]
 
 
 def pack_i(fields: dict, geom: BandGeometry) -> jax.Array:

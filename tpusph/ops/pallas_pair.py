@@ -45,13 +45,22 @@ from tpusph import kernels
 from tpusph.params import PairTables, PhysicsSpec
 from tpusph.state import Box, ParticleState
 
-# packed field rows (F = 16)
+# packed field rows (F = 16). Ordered so every row the rho / cgrad /
+# vapor-neighbor sweeps read sits in the FIRST 8: those sweeps fetch a
+# (8, W) window sub-block instead of the full (16, W) — half the window
+# DMA per neighbor offset (the force sweep reads 14 of 16 and fetches all).
 F_ROWS = 16
-RX, RY, RZ, RVX, RVY, RVZ, RRHO, RE, RM, RTYPE, RCGX, RCGY, RCGZ = range(13)
-RCV = 13  # per-particle heat capacity (heatconduction/phasechange pinning)
-RMIX = 14  # per-tile mixed-phase flag (strip cgrad sweep skip)
-RSLOT = 15  # j-slot index as f32 (strip vapor-neighbor sweep: the argmin
+RX, RY, RZ = 0, 1, 2
+RM = 3      # mass
+RTYPE = 4   # type as f32 (0 = dead)
+RRHO = 5
+RSLOT = 6   # j-slot index as f32 (strip vapor-neighbor sweep: the argmin
 #             target row; exact for pools < 2^24 slots)
+RMIX = 7    # per-tile mixed-phase flag (strip cgrad sweep skip; i-tile only)
+RVX, RVY, RVZ = 8, 9, 10
+RE = 11
+RCGX, RCGY, RCGZ = 12, 13, 14
+RCV = 15    # per-particle heat capacity (heatconduction/phasechange pinning)
 # output rows (8)
 OFX, OFY, OFZ, ODRHO, ODE, ORHO, OCGX, OCGY = range(8)
 OVIR = ORHO  # force sweep only: the rho row is free there; reused for the
@@ -103,16 +112,20 @@ def pack_dense(state: ParticleState, data: gridlib.GridData, cg: ColumnGrid,
         (data.cell_id < cg.ncols * cg.ncz)
     flat_pos = jnp.where(ok, flat_pos, cg.ncols * cg.col_cap)
 
-    cols = [state.x[:, 0], state.x[:, 1], state.x[:, 2],
-            state.vest[:, 0], state.vest[:, 1], state.vest[:, 2],
-            state.rho, state.e, state.rmass,
-            state.type.astype(jnp.float32)]
+    z = jnp.zeros(n)
+    cols = [None] * F_ROWS
+    cols[RX], cols[RY], cols[RZ] = state.x[:, 0], state.x[:, 1], state.x[:, 2]
+    cols[RVX], cols[RVY], cols[RVZ] = (state.vest[:, 0], state.vest[:, 1],
+                                       state.vest[:, 2])
+    cols[RRHO], cols[RE], cols[RM] = state.rho, state.e, state.rmass
+    cols[RTYPE] = state.type.astype(jnp.float32)
     if cgrad is not None:
-        cols += [cgrad[:, 0], cgrad[:, 1], cgrad[:, 2]]
+        cols[RCGX], cols[RCGY], cols[RCGZ] = (cgrad[:, 0], cgrad[:, 1],
+                                              cgrad[:, 2])
     else:
-        cols += [jnp.zeros(n)] * 3
-    cols += [state.cv]
-    cols += [jnp.zeros(n)] * (F_ROWS - len(cols))
+        cols[RCGX] = cols[RCGY] = cols[RCGZ] = z
+    cols[RCV] = state.cv
+    cols = [z if c is None else c for c in cols]
     packed_rows = jnp.stack(cols, axis=1)  # (n, F)
 
     dense = jnp.zeros((cg.ncols * cg.col_cap, F_ROWS), jnp.float32)

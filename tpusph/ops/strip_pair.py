@@ -1188,6 +1188,11 @@ def make_strip_kernel(geom: StripGeometry, spec: PhysicsSpec, ntypes: int,
         else:
             jax.lax.fori_loop(0, t_blk, tile_body, 0)
 
+    # narrow window fetch: the rho/cgrad sweeps only read field rows < 8
+    # (the R* ordering contract in pallas_pair), so their window block is
+    # (8, W) — half the per-offset window DMA; force reads 14/16 rows and
+    # fetches the full block. Index maps return F-block coord 0 either way.
+    F_SUB = 8 if sweep in ("rho", "cgrad") else F_ROWS
     in_specs = [pl.BlockSpec(memory_space=pltpu.SMEM),
                 pl.BlockSpec(memory_space=pltpu.VMEM),
                 pl.BlockSpec((1, t_blk, ts, F_ROWS),
@@ -1195,7 +1200,7 @@ def make_strip_kernel(geom: StripGeometry, spec: PhysicsSpec, ntypes: int,
                              memory_space=pltpu.VMEM)]
     for kk, (ox, oy) in enumerate(offs):
         in_specs.append(
-            pl.BlockSpec((1, t_blk, F_ROWS, W),
+            pl.BlockSpec((1, t_blk, F_SUB, W),
                          index_map=_delta_index_map(geom, ox, oy, kk),
                          memory_space=pltpu.VMEM))
     out_spec = pl.BlockSpec((1, t_blk, ts, 8),
@@ -1310,7 +1315,9 @@ def make_vapor_kernel(geom: StripGeometry, vtype: int, cut: float,
                              memory_space=pltpu.VMEM)]
     for kk, (ox, oy) in enumerate(offs):
         in_specs.append(
-            pl.BlockSpec((1, t_blk, F_ROWS, W),
+            # narrow fetch: the vapor query reads x/type/slot only — all
+            # in the first 8 field rows (R* ordering in pallas_pair)
+            pl.BlockSpec((1, t_blk, 8, W),
                          index_map=_delta_index_map(geom, ox, oy, kk),
                          memory_space=pltpu.VMEM))
     out_spec = pl.BlockSpec((1, t_blk, ts, 8),

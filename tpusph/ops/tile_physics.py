@@ -254,7 +254,9 @@ def tile_part_sums(i_tile, j_tile, shift, hoist, lk: Lookups,
         m_j = jnp.where(alive_j, m_j_raw, 1.0)
     r = jnp.sqrt(jnp.maximum(rsq, 1e-30))
     inv_rho_j = 1.0 / rho_j
-    e_j = jrow(RE)
+    # NOTE: rows >= 8 (RVX.., RE, RCG.., RCV) may only be read inside the
+    # force branch — the rho/cgrad sweeps receive a narrow (8, W) window
+    # block (see the F-row ordering comment in pallas_pair)
 
     _ctx = {}
 
@@ -286,6 +288,7 @@ def tile_part_sums(i_tile, j_tile, shift, hoist, lk: Lookups,
 
     # ---- force sweep ----
     f0 = f1 = f2 = drho = de = jnp.zeros((rows, W), jnp.float32)
+    e_j = jrow(RE)
     dv0 = icol(RVX) - jrow(RVX)
     dv1 = icol(RVY) - jrow(RVY)
     dv2 = icol(RVZ) - jrow(RVZ)
