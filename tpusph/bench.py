@@ -117,8 +117,11 @@ def build_bench_sim(n_particles: int, dim: int = 3, multiphase: bool = True,
     # (strip_pair._TILE_FIXED_LANES) the one-vreg W=128/ts=16 geometry is
     # a LOSS (4x the tiles, ~5.7 us fixed each — measured 503 ms vs 216 ms
     # force stage @1M), so both skins land (ts=64, W=256) and the larger
-    # skin halves the rebuild cadence
-    sim.neighbor_skin = 1.0 * dx
+    # skin halves the rebuild cadence. TPUSPH_BENCH_SKIN overrides (r5:
+    # the post-transition W=384 window carries ~45 rows of measured slack
+    # — extra skin rides it free while stretching the rebuild cadence).
+    import os as _os
+    sim.neighbor_skin = float(_os.environ.get("TPUSPH_BENCH_SKIN", "1.0")) * dx
     sim.dt = 2e-3 if mode == "uniform" else 5e-3
     sim.thermo(0)
     return sim

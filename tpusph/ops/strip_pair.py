@@ -440,7 +440,14 @@ def choose_strip_geometry(box: Box, cutoff: float, dim: int, skin: float,
         ec_i = M["ec"].astype(np.int64)
         noffs = len(offsets)
         tb_opts = []
+        env_tb = int(os.environ.get("TPUSPH_STRIP_TBLK", "0"))
         for ts, ch in candidates:
+            if env_tb:
+                # hard pin for experiments: the pref path only ADDS the
+                # env value as a candidate, and the cost model can still
+                # out-vote it (head/tail round to blk multiples)
+                tb_opts.append((ts, ch, env_tb))
+                continue
             pref = _pref_t_blk(ts)
             for tb in {pref, max(pref // 2, 1), max(pref // 4, 1)}:
                 tb_opts.append((ts, ch, tb))
