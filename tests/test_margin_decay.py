@@ -87,3 +87,22 @@ def test_no_decay_when_lean():
     sim.run(28)
     assert _strip_w(sim) <= w0
     assert sim.step_count == 30
+
+
+def test_strip_retry_after_abandonment():
+    # floors so large every strip candidate dies -> fallback backend; after
+    # K calm rebuilds the retry re-chooses with fresh measures and strip
+    # comes back (r5: the 500k bubble-rise settling wave abandoned strip
+    # for the rest of the run before this path existed)
+    from tpusph.ops.strip_pair import StripBackend
+    sim = _sim(extra=(4096, 4096))
+    with pytest.warns(RuntimeWarning, match="abandoned"):
+        sim.run(2)
+    assert not isinstance(sim._runner.backend, StripBackend)
+    assert getattr(sim, "_strip_abandoned", False)
+    sim.run(28)
+    assert isinstance(sim._runner.backend, StripBackend)
+    assert sim._strip_extra == (0, 0)
+    assert sim.step_count == 30
+    e = np.asarray(sim.get("e"))
+    assert np.isfinite(e).all()

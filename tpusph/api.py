@@ -472,12 +472,19 @@ class Simulation:
                 # (ADVICE r3): an escalated margin floor pushing every
                 # candidate past the width cap silently demotes the run to
                 # the band/column backend — a large quiet perf cliff.
+                # The retry observer (_maybe_retry_strip) re-attempts the
+                # strip with FRESH measures once the transient that
+                # escalated the floor has passed (r5: the 500k bubble-rise
+                # settling wave escalated to extra=(503,292), abandoning
+                # strip for the rest of the run).
+                self._strip_abandoned = True
                 import warnings
                 warnings.warn(
                     "strip geometry abandoned: escalated margin floor "
                     f"extra_rows={extra} drift={drift} pushed all "
                     "candidates past the window-width cap; falling back "
-                    "to a slower backend", RuntimeWarning, stacklevel=2)
+                    "to a slower backend (will retry after the transient)",
+                    RuntimeWarning, stacklevel=2)
             return None
         key = ("strip", geom, self.reneigh_every)
         if self._backend_cache.get("key") != key:
@@ -607,6 +614,17 @@ class Simulation:
                                   else 1.15),
                         drift=getattr(self, "_strip_drift", 1.0),
                         extra_rows=getattr(self, "_strip_extra", (0, 0)))
+                if strip_geom is None and \
+                        (getattr(self, "_strip_extra", (0, 0)) != (0, 0)
+                         or getattr(self, "_strip_drift", 1.0) > 1.0):
+                    # escalated floors killed every per-brick candidate:
+                    # same abandonment-retry contract as the single path
+                    self._strip_abandoned = True
+                    import warnings
+                    warnings.warn(
+                        "dist strip geometry abandoned under escalated "
+                        "margin floors; falling back (will retry after "
+                        "the transient)", RuntimeWarning, stacklevel=2)
             use_pallas = (self.backend_name == "pallas"
                           or (self.backend_name == "auto"
                               and jax.default_backend() == "tpu"
@@ -812,6 +830,8 @@ class Simulation:
                 self._decay_obs = 0
                 self._decay_need = None
                 self._decay_blocked = False
+                self._strip_retry_done = False
+                self._retry_obs = 0
                 done = self._continue_after_abort()
                 # a growing phase (evaporation) legitimately outgrows the
                 # measured caps MANY times over a long run; every re-choose
@@ -862,6 +882,7 @@ class Simulation:
         self.aux = None
         # rebuild counters restart under the new runner
         self._decay_nbuilds = None
+        self._retry_nbuilds = None
         return done
 
     def _current_strip_geom(self):
@@ -889,7 +910,10 @@ class Simulation:
         decay attempts until the next violation episode)."""
         g = self._current_strip_geom()
         aux = self.aux
-        if g is None or aux is None:
+        if g is None:
+            self._maybe_retry_strip(aux)
+            return
+        if aux is None:
             return
         prev_w = getattr(self, "_decay_prev_w", None)
         if prev_w is not None:
@@ -949,6 +973,42 @@ class Simulation:
         raise MarginDecay(
             f"strip margin slack measured over {self._DECAY_K} rebuilds: "
             f"window {g.w} -> {new_w} rows (floors {rows_lo}/{rows_hi})")
+
+    def _maybe_retry_strip(self, aux):
+        """Strip-abandonment retry: when escalated floors pushed every
+        strip candidate past the width cap (self._strip_abandoned), the
+        run demoted to a slower backend — PERMANENTLY, before r5 (the
+        500k bubble-rise settling wave cost the rest of the run). After
+        _DECAY_K calm rebuilds on the fallback backend (calm = the
+        overflow guard did not fire; _check_overflow runs first), retry
+        the strip chooser with FRESH measures: the floors are reset and
+        the re-measure from the evolved state decides. One retry per
+        violation episode — a second abandonment stays abandoned until a
+        new violation re-arms the observer."""
+        if not getattr(self, "_strip_abandoned", False) or aux is None \
+                or getattr(self, "_strip_retry_done", False):
+            return
+        nb = getattr(aux, "nbuilds", None)
+        if nb is None:
+            nb = getattr(getattr(aux, "grid", None), "nbuilds", None)
+        if nb is None:
+            return
+        nb = int(np.asarray(jax.device_get(nb)).max())
+        last = getattr(self, "_retry_nbuilds", None)
+        self._retry_nbuilds = nb
+        if last is None or nb <= last:
+            return  # no rebuild since the last observation
+        self._retry_obs = getattr(self, "_retry_obs", 0) + 1
+        if self._retry_obs < self._DECAY_K:
+            return
+        self._strip_extra = (0, 0)
+        self._strip_drift = 1.0
+        self._strip_abandoned = False
+        self._strip_retry_done = True
+        self._retry_obs = 0
+        raise MarginDecay(
+            f"strip was abandoned under escalated floors; {self._DECAY_K} "
+            "calm rebuilds since — re-choosing with fresh measures")
 
     def _restore_integrator_fields(self):
         """Scatter the staged f/de/drho snapshot back into the (re-sorted)

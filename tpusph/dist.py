@@ -673,7 +673,8 @@ def choose_strip_geometry_dist(box_global: Box, spec: BrickSpec, dim: int,
     budget = max(g.col_cap - g.head - g.tail for g in geoms)
     mlo = max(g.mlo for g in geoms)
     mhi = max(g.mhi for g in geoms)
-    if ch * (mlo + (ts // ch) + mhi) > 640:
+    from tpusph.ops.strip_pair import STRIP_W_CAP
+    if ch * (mlo + (ts // ch) + mhi) > STRIP_W_CAP:
         return None, None
     col_cap = -(-(head + budget + tail) // blk) * blk
     # per-brick windows are already vreg-padded, but the independent

@@ -158,6 +158,17 @@ class StripGeometry(NamedTuple):
 # model; measured v5e @1M r3: beta ~= 5.7 us/tile at ~0.31 ns/lane)
 _TILE_FIXED_LANES = float(os.environ.get("TPUSPH_STRIP_TILE_FIXED", "18000"))
 
+# Widest window the chooser will accept, in rows. This is a COST heuristic
+# (lanes/slot = 9*W; VMEM is nowhere near binding — a (16, 1152) force
+# block is 72KB/offset), not a hardware limit. r5 raised it from 640:
+# a transient violation that needs W>640 used to ABANDON strip for the
+# whole run (the 500k bubble-rise settling wave measured a 503-row
+# shortfall -> fallback backends that are strictly slower, and whose
+# column kernel crashed the remote Mosaic helper at cap=800); with the
+# margin-decay path a temporarily-huge W shrinks back after the transient,
+# so accepting it is strictly better than abandonment.
+STRIP_W_CAP = int(os.environ.get("TPUSPH_STRIP_W_CAP", "1152"))
+
 DEFAULT_TS_CH = ((64, 32), (64, 16), (64, 8), (48, 16), (48, 8),
                  (32, 16), (32, 8), (16, 16), (16, 8))
 
@@ -559,7 +570,7 @@ def choose_strip_geometry(box: Box, cutoff: float, dim: int, skin: float,
             mlo = min(chunks(need_lo), nch)
             mhi = min(chunks(need_hi), nch)
             w = ch * (mlo + ts // ch + mhi)
-            if w > 640:
+            if w > STRIP_W_CAP:
                 if dbg:
                     kills.append((ncols, ts, ch, B, "wcap", w,
                                   (round(need_lo), round(need_hi))))
